@@ -1,0 +1,21 @@
+"""Global configuration for the TPU-native ASSET reimplementation.
+
+The reference (AlabamaASRL/asset_asrl) is a double-precision C++ library; the
+interior-point solver needs f64 bookkeeping, so we enable x64 on import.  The
+hot KKT factorization path can still run blocks in f32 with iterative
+refinement (see solvers/kkt), mirroring the reference's Pardiso refinement
+knob (`src/Solvers/PSIOPT.h:146` QPRefSteps).
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Default floating point dtype for all solver math.
+import jax.numpy as jnp  # noqa: E402
+
+DEFAULT_DTYPE = jnp.float64
+
+
+def default_dtype():
+    return DEFAULT_DTYPE
