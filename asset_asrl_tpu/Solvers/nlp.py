@@ -1,0 +1,253 @@
+"""NonLinearProgram: batched assembly of objective/constraint families.
+
+TPU-native replacement for `src/Solvers/NonLinearProgram.{h,cpp}` +
+`src/VectorFunctions/IndexingData.h`:
+
+* reference `SolverIndexingData` (Vindex/Cindex gather-scatter metadata)
+  -> int32 index arrays driving `x[Vidx]` gathers and `.at[Cidx].add` scatters
+* reference SuperScalar/thread-pool bulk evaluation
+  (`DenseFunctionBase.h:1171-1211`, `NonLinearProgram.cpp:473-538`)
+  -> one `jax.vmap` over ALL applications of each function kind
+* reference KKT CSR slot matching + clash mutexes
+  (`NonLinearProgram.h:103-107`) -> deterministic dense/block scatter-adds
+  (no locks needed; XLA scatter-add has a fixed reduction order).
+
+A *family* is one function applied at many index sets: e.g. the LGL5 defect
+applied to every segment of a phase, or a variable bound applied at every
+node.  Per-application constant data (mesh fractions, quadrature weights,
+bound values) rides along in `consts` so one traced function serves every
+application.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from ..VectorFunctions.function import VectorFunction
+
+__all__ = ["IndexedFunction", "NonLinearProgram"]
+
+
+class IndexedFunction:
+    """A function kind + the index sets of all its applications.
+
+    fun: callable (xloc (nin,), consts (nc,)) -> (nout,)   [traced by jax]
+         or a VectorFunction (consts ignored).
+    Vidx: (napps, nin) int array of global variable indices per application.
+    consts: (napps, nc) float array of per-application constants.
+    """
+
+    def __init__(self, fun, Vidx, consts=None, name="fun", scale=None):
+        if isinstance(fun, VectorFunction):
+            vfun = fun
+            self.fun = lambda x, c: vfun.trace(x)
+            self.nout = vfun.ORows()
+            nin_expected = vfun.IRows()
+        else:
+            self.fun = fun
+            self.nout = None  # determined by probing
+            nin_expected = None
+        self.Vidx = np.asarray(Vidx, dtype=np.int32)
+        if self.Vidx.ndim != 2:
+            raise ValueError("Vidx must be (napps, nin)")
+        self.napps, self.nin = self.Vidx.shape
+        if nin_expected is not None and self.nin != nin_expected:
+            raise ValueError(
+                f"{name}: Vidx width {self.nin} != function input {nin_expected}")
+        if consts is None:
+            consts = np.zeros((self.napps, 0))
+        self.consts = np.asarray(consts, dtype=np.float64)
+        if self.consts.ndim == 1:
+            self.consts = self.consts[:, None]
+        if self.consts.shape[0] != self.napps:
+            raise ValueError(f"{name}: consts rows != napps")
+        self.name = name
+        # scale: per-output-row scaling (auto-scaling support)
+        self.scale = None if scale is None else np.asarray(scale, np.float64)
+        if self.nout is None:
+            probe = jax.eval_shape(
+                self.fun,
+                jax.ShapeDtypeStruct((self.nin,), DEFAULT_DTYPE),
+                jax.ShapeDtypeStruct((self.consts.shape[1],), DEFAULT_DTYPE))
+            self.nout = int(np.prod(probe.shape)) if probe.shape else 1
+
+    def __repr__(self):
+        return (f"<IndexedFunction {self.name}: {self.napps} apps, "
+                f"{self.nin}->{self.nout}>")
+
+
+def _family_value(fun):
+    def one(xloc, consts):
+        return jnp.atleast_1d(fun(xloc, consts))
+    return jax.vmap(one)
+
+
+def _family_valjac(fun):
+    def one(xloc, consts):
+        f = lambda z: jnp.atleast_1d(fun(z, consts))
+        return f(xloc), jax.jacfwd(f)(xloc)
+    return jax.vmap(one)
+
+
+def _family_full(fun):
+    """value, jacobian, adjoint hessian for a batch of applications."""
+    def one(xloc, consts, lam):
+        f = lambda z: jnp.atleast_1d(fun(z, consts))
+        fx = f(xloc)
+        jx = jax.jacfwd(f)(xloc)
+        agrad = lambda z: jax.vjp(f, z)[1](lam)[0]
+        hx = jax.jacfwd(agrad)(xloc)
+        return fx, jx, hx
+    return jax.vmap(one)
+
+
+class NonLinearProgram:
+    """Assembles families into one NLP with dense or structured KKT output.
+
+    Variable vector x has `numPrimal` entries.  Constraint rows are assigned
+    contiguously per family, equality rows and inequality rows in separate
+    spaces (reference: `NonLinearProgram::make_NLP`, `PhaseIndexer`).
+    Inequality convention: c_I(x) <= 0 with slack c_I + s = 0, s >= 0
+    (matches PSIOPT slack handling, `PSIOPT.h:549`).
+    """
+
+    def __init__(self, numPrimal):
+        self.numPrimal = int(numPrimal)
+        self.objectives: list[IndexedFunction] = []
+        self.eqcons: list[IndexedFunction] = []
+        self.iqcons: list[IndexedFunction] = []
+        self._frozen = False
+
+    # ------------------------------------------------------------- builders
+    def addObjective(self, f: IndexedFunction):
+        if f.nout != 1:
+            raise ValueError("objective families must have scalar output")
+        self.objectives.append(f)
+
+    def addEqualCon(self, f: IndexedFunction):
+        self.eqcons.append(f)
+
+    def addInequalCon(self, f: IndexedFunction):
+        self.iqcons.append(f)
+
+    # ------------------------------------------------------------- freezing
+    def freeze(self):
+        """Assign constraint rows and build jitted evaluators."""
+        if self._frozen:
+            return
+        self._frozen = True
+        row = 0
+        self._eq_rows = []
+        for f in self.eqcons:
+            rows = row + np.arange(f.napps * f.nout, dtype=np.int32).reshape(
+                f.napps, f.nout)
+            self._eq_rows.append(rows)
+            row += f.napps * f.nout
+        self.numEq = row
+        row = 0
+        self._iq_rows = []
+        for f in self.iqcons:
+            rows = row + np.arange(f.napps * f.nout, dtype=np.int32).reshape(
+                f.napps, f.nout)
+            self._iq_rows.append(rows)
+            row += f.napps * f.nout
+        self.numIq = row
+        self._build_evaluators()
+
+    # ------------------------------------------------------- dense evaluators
+    def _build_evaluators(self):
+        n = self.numPrimal
+        mE, mI = self.numEq, self.numIq
+        obj_fams = [(f, _family_value(f.fun), _family_full(f.fun),
+                     jnp.asarray(f.Vidx), jnp.asarray(f.consts))
+                    for f in self.objectives]
+        eq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
+                    jnp.asarray(f.Vidx), jnp.asarray(f.consts),
+                    jnp.asarray(rows))
+                   for f, rows in zip(self.eqcons, self._eq_rows)]
+        iq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
+                    jnp.asarray(f.Vidx), jnp.asarray(f.consts),
+                    jnp.asarray(rows))
+                   for f, rows in zip(self.iqcons, self._iq_rows)]
+
+        def eval_obj_cons(x):
+            """Objective value + raw constraint residuals (reference evalOCC:
+            used by the merit line search)."""
+            obj = jnp.zeros((), DEFAULT_DTYPE)
+            for f, fval, _, vidx, consts in obj_fams:
+                obj = obj + jnp.sum(fval(x[vidx], consts))
+            cE = jnp.zeros((mE,), DEFAULT_DTYPE)
+            for f, fval, _, vidx, consts, rows in eq_fams:
+                fx = fval(x[vidx], consts)
+                cE = cE.at[rows.ravel()].add(fx.ravel())
+            cI = jnp.zeros((mI,), DEFAULT_DTYPE)
+            for f, fval, _, vidx, consts, rows in iq_fams:
+                fx = fval(x[vidx], consts)
+                cI = cI.at[rows.ravel()].add(fx.ravel())
+            return obj, cE, cI
+
+        def eval_kkt(x, lamE, lamI, sigma):
+            """Full KKT data (reference NonLinearProgram::evalKKT):
+            obj, gradf (scaled by sigma), cE, cI, dense H = sigma*grad^2 f +
+            sum lam * grad^2 c, dense JE, JI."""
+            obj = jnp.zeros((), DEFAULT_DTYPE)
+            gradf = jnp.zeros((n,), DEFAULT_DTYPE)
+            H = jnp.zeros((n, n), DEFAULT_DTYPE)
+            for f, _, ffull, vidx, consts in obj_fams:
+                ones = jnp.ones((f.napps, 1), DEFAULT_DTYPE)
+                fx, jx, hx = ffull(x[vidx], consts, ones)
+                obj = obj + jnp.sum(fx)
+                gradf = gradf.at[vidx.ravel()].add(sigma * jx.ravel())
+                hr = jnp.broadcast_to(vidx[:, :, None],
+                                      (f.napps, f.nin, f.nin))
+                hc = jnp.broadcast_to(vidx[:, None, :],
+                                      (f.napps, f.nin, f.nin))
+                H = H.at[hr.ravel(), hc.ravel()].add(sigma * hx.ravel())
+
+            cE = jnp.zeros((mE,), DEFAULT_DTYPE)
+            JE = jnp.zeros((mE, n), DEFAULT_DTYPE)
+            for f, _, ffull, vidx, consts, rows in eq_fams:
+                lam = lamE[rows]
+                fx, jx, hx = ffull(x[vidx], consts, lam)
+                cE = cE.at[rows.ravel()].add(fx.ravel())
+                jr = jnp.broadcast_to(rows[:, :, None],
+                                      (f.napps, f.nout, f.nin))
+                jc = jnp.broadcast_to(vidx[:, None, :],
+                                      (f.napps, f.nout, f.nin))
+                JE = JE.at[jr.ravel(), jc.ravel()].add(jx.ravel())
+                hr = jnp.broadcast_to(vidx[:, :, None],
+                                      (f.napps, f.nin, f.nin))
+                hc = jnp.broadcast_to(vidx[:, None, :],
+                                      (f.napps, f.nin, f.nin))
+                H = H.at[hr.ravel(), hc.ravel()].add(hx.ravel())
+
+            cI = jnp.zeros((mI,), DEFAULT_DTYPE)
+            JI = jnp.zeros((mI, n), DEFAULT_DTYPE)
+            for f, _, ffull, vidx, consts, rows in iq_fams:
+                lam = lamI[rows]
+                fx, jx, hx = ffull(x[vidx], consts, lam)
+                cI = cI.at[rows.ravel()].add(fx.ravel())
+                jr = jnp.broadcast_to(rows[:, :, None],
+                                      (f.napps, f.nout, f.nin))
+                jc = jnp.broadcast_to(vidx[:, None, :],
+                                      (f.napps, f.nout, f.nin))
+                JI = JI.at[jr.ravel(), jc.ravel()].add(jx.ravel())
+                hr = jnp.broadcast_to(vidx[:, :, None],
+                                      (f.napps, f.nin, f.nin))
+                hc = jnp.broadcast_to(vidx[:, None, :],
+                                      (f.napps, f.nin, f.nin))
+                H = H.at[hr.ravel(), hc.ravel()].add(hx.ravel())
+
+            return obj, gradf, cE, cI, H, JE, JI
+
+        self.eval_obj_cons = jax.jit(eval_obj_cons)
+        self.eval_kkt = jax.jit(eval_kkt)
+
+    # ------------------------------------------------------------- info
+    def __repr__(self):
+        return (f"<NonLinearProgram n={self.numPrimal} "
+                f"eqfams={len(self.eqcons)} iqfams={len(self.iqcons)} "
+                f"objfams={len(self.objectives)}>")

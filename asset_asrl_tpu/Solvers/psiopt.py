@@ -1,0 +1,564 @@
+"""PSIOPT: primal-dual interior-point NLP solver, TPU-native re-design.
+
+Functional re-implementation of the reference solver
+(`src/Solvers/PSIOPT.{h,cpp}`): same state (primal X, slacks S per inequality,
+eq/iq multipliers), same barrier modes (LOQO / PROBE-Mehrotra), same
+fraction-to-boundary + merit line-search + slack-reset + inertia-corrected
+factorization ladder (deltaH/incrH/decrH, `PSIOPT.cpp:422`), same convergence
+ladder (CONVERGED / ACCEPTABLE / NOTCONVERGED / DIVERGING with acceptable and
+divergence tolerance tiers, `PSIOPT.cpp:130`).
+
+Differences by design (TPU):
+* The KKT system is reduced by analytic slack elimination to the symmetric
+  quasi-definite form  [[H+dI, JE^T, JI^T], [JE, -gI, 0], [JI, 0, -(1/Sig+g)]]
+  instead of Pardiso's full sparse form; the factorization backend is
+  pluggable (`kkt` argument): dense eigendecomposition for the reference
+  path, block-tridiagonal cyclic-reduction LDL^T for structured (collocation)
+  problems.
+* Inertia correction uses the factorization's negative-pivot count exactly
+  like Pardiso's neigs (`factor_impl`), driving the same perturbation ladder.
+* Per-iteration math is jitted; the outer loop is host-side so line-search /
+  refactorization retries stay data-dependent without recompiles.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from .nlp import NonLinearProgram
+
+__all__ = ["PSIOPT", "ConvergenceFlags"]
+
+
+class ConvergenceFlags:
+    CONVERGED = 0
+    ACCEPTABLE = 1
+    NOTCONVERGED = 2
+    DIVERGING = 3
+
+    _names = {0: "CONVERGED", 1: "ACCEPTABLE", 2: "NOTCONVERGED",
+              3: "DIVERGING"}
+
+
+# --------------------------------------------------------------------------
+# Dense KKT backend: eigendecomposition factorization (exact inertia).
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _dense_kkt_factor(H, JE, JI, SigInv, delta, gammaE, gammaI):
+    n = H.shape[0]
+    mE = JE.shape[0]
+    mI = JI.shape[0]
+    dim = n + mE + mI
+    K = jnp.zeros((dim, dim), DEFAULT_DTYPE)
+    K = K.at[:n, :n].set(H + delta * jnp.eye(n, dtype=DEFAULT_DTYPE))
+    K = K.at[n:n + mE, :n].set(JE)
+    K = K.at[:n, n:n + mE].set(JE.T)
+    K = K.at[n + mE:, :n].set(JI)
+    K = K.at[:n, n + mE:].set(JI.T)
+    K = K.at[jnp.arange(n, n + mE), jnp.arange(n, n + mE)].set(-gammaE)
+    K = K.at[jnp.arange(n + mE, dim), jnp.arange(n + mE, dim)].set(
+        -(SigInv + gammaI))
+    w, V = jnp.linalg.eigh(K)
+    neigs = jnp.sum(w < 0)
+    return (w, V), neigs
+
+
+@jax.jit
+def _dense_kkt_solve(factor, rhs):
+    w, V = factor
+    return V @ ((V.T @ rhs) / w)
+
+
+class _DenseKKT:
+    """Dense factorization backend (reference path, small problems)."""
+
+    def factor(self, H, JE, JI, SigInv, delta, gammaE, gammaI):
+        fac, neigs = _dense_kkt_factor(H, JE, JI, SigInv,
+                                       delta, gammaE, gammaI)
+        return fac, int(neigs)
+
+    def solve(self, factor, rhs):
+        return _dense_kkt_solve(factor, rhs)
+
+
+# --------------------------------------------------------------------------
+# jitted iteration pieces
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _slack_reset(s, cI, negreset):
+    """Reference PSIOPT::apply_reset_slacks (`PSIOPT.h:549`): when the raw
+    inequality value is feasible (<0), zero its residual and snap the slack to
+    |c|; otherwise residual = c + s."""
+    s = jnp.maximum(s, negreset)
+    feas = cI < 0.0
+    rI = jnp.where(feas, 0.0, cI + s)
+    s = jnp.where(feas, jnp.maximum(jnp.abs(cI), negreset), s)
+    return s, rI
+
+
+@jax.jit
+def _sigma_diag(s, lamI, mu):
+    """Primal-dual barrier diagonal lam/s with primal fallback mu/s^2
+    (reference barrier_hessian, `PSIOPT.h:606`)."""
+    hp = lamI / s
+    return jnp.where(hp < 0.0, mu / (s * s), hp)
+
+
+@jax.jit
+def _max_step_to_boundary(v, dv, bfrac):
+    """max alpha with v + alpha*dv >= (1-bfrac)*v (reference `PSIOPT.h:565`)."""
+    bad = dv < -bfrac * v
+    cand = jnp.where(bad, -bfrac * v / jnp.where(bad, dv, -1.0), 1.0)
+    return jnp.minimum(1.0, jnp.min(cand, initial=1.0))
+
+
+class PSIOPT:
+    """Interior-point optimizer over a NonLinearProgram."""
+
+    def __init__(self, nlp: NonLinearProgram | None = None, kkt=None):
+        # --- tolerance / algorithm knobs, names follow the reference ---
+        self.MaxIters = 500
+        self.MaxAccIters = 50
+        self.MaxLSIters = 2
+        self.MaxRefac = 15
+        self.KKTtol = 1.0e-6
+        self.EContol = 1.0e-6
+        self.IContol = 1.0e-6
+        self.Bartol = 1.0e-6
+        self.AccKKTtol = 1.0e-2
+        self.AccEContol = 1.0e-3
+        self.AccIContol = 1.0e-3
+        self.AccBartol = 1.0e-3
+        self.DivKKTtol = 1.0e15
+        self.DivEContol = 1.0e15
+        self.DivIContol = 1.0e15
+        self.DivBartol = 1.0e15
+        self.BoundFraction = 0.99
+        self.BoundPush = 1.0e-3
+        self.NegSlackReset = 1.0e-12
+        self.deltaH = 1.0e-5
+        self.incrH = 8.0
+        self.decrH = 1.0 / 3.0
+        self.initMu = 1.0e-3
+        self.MaxMu = 100.0
+        self.MinMu = 1.0e-12
+        self.ObjScale = 1.0
+        self.alphaRed = 2.0
+        self.OptBarMode = "LOQO"
+        self.SoeBarMode = "LOQO"
+        self.OptLSMode = "AUGLANG"
+        self.SoeLSMode = "NOLS"
+        self.PrintLevel = 0
+        self.FastFactorAlg = True
+        self.gammaE = 1.0e-10   # dual regularization (quasi-definiteness)
+        self.gammaI = 1.0e-10
+        self.CNRMode = False
+        self.storespmat = False
+        self.WideConsole = False
+        self.ReturnBest = False
+        self.BestCriteria = "ECons"
+
+        # --- outputs (reference timing/statistics surface) ---
+        self.LastObjVal = 0.0
+        self.LastIterNum = 0
+        self.LastTotalTime = 0.0
+        self.LastFuncTime = 0.0
+        self.LastKKTTime = 0.0
+        self.LastPreTime = 0.0
+        self.LastMiscTime = 0.0
+        self.ConvergeFlag = ConvergenceFlags.NOTCONVERGED
+        self.LastEqLmults = None
+        self.LastIqLmults = None
+
+        self.nlp = nlp
+        self.kkt = kkt if kkt is not None else _DenseKKT()
+
+    # ---------------------------------------------------------------- knobs
+    def set_OptLSMode(self, m):
+        self.OptLSMode = m
+
+    def set_SoeLSMode(self, m):
+        self.SoeLSMode = m
+
+    def set_OptBarMode(self, m):
+        self.OptBarMode = m
+
+    def set_SoeBarMode(self, m):
+        self.SoeBarMode = m
+
+    def set_PrintLevel(self, p):
+        self.PrintLevel = int(p)
+
+    def set_MaxIters(self, n):
+        self.MaxIters = int(n)
+
+    def set_MaxAccIters(self, n):
+        self.MaxAccIters = int(n)
+
+    def set_MaxLSIters(self, n):
+        self.MaxLSIters = int(n)
+
+    def set_tols(self, KKTtol=None, EContol=None, IContol=None, Bartol=None):
+        if KKTtol is not None:
+            self.KKTtol = abs(KKTtol)
+        if EContol is not None:
+            self.EContol = abs(EContol)
+        if IContol is not None:
+            self.IContol = abs(IContol)
+        if Bartol is not None:
+            self.Bartol = abs(Bartol)
+
+    def set_Acctols(self, k, e, i, b):
+        self.AccKKTtol, self.AccEContol = abs(k), abs(e)
+        self.AccIContol, self.AccBartol = abs(i), abs(b)
+
+    def set_KKTtol(self, v):
+        self.KKTtol = abs(v)
+
+    def set_EContol(self, v):
+        self.EContol = abs(v)
+
+    def set_IContol(self, v):
+        self.IContol = abs(v)
+
+    def set_Bartol(self, v):
+        self.Bartol = abs(v)
+
+    def set_BoundFraction(self, v):
+        self.BoundFraction = v
+
+    def set_deltaH(self, v):
+        self.deltaH = abs(v)
+
+    def set_QPOrderingMode(self, *_):
+        pass  # no sparse ordering on the TPU backend
+
+    def set_QPParams(self, *_, **__):
+        pass
+
+    def setNLP(self, nlp):
+        self.nlp = nlp
+
+    # ------------------------------------------------------------- slack init
+    def _init_state(self, x, mu):
+        """Reference init_impl (`PSIOPT.cpp:728`): slacks from constraint
+        values with BoundPush floor; iq multipliers mu/s; eq multipliers 0."""
+        nlp = self.nlp
+        x = jnp.asarray(x, DEFAULT_DTYPE)
+        _, cE, cI = nlp.eval_obj_cons(x)
+        if nlp.numIq > 0:
+            cI = np.asarray(cI)
+            s = np.where(cI < -self.BoundPush, np.abs(cI), self.BoundPush)
+            lamI = mu / s
+            s = jnp.asarray(s)
+            lamI = jnp.asarray(lamI)
+        else:
+            s = jnp.zeros((0,), DEFAULT_DTYPE)
+            lamI = jnp.zeros((0,), DEFAULT_DTYPE)
+        lamE = jnp.zeros((nlp.numEq,), DEFAULT_DTYPE)
+        return x, s, lamE, lamI
+
+    # ------------------------------------------------------------ public API
+    def solve(self, x):
+        return self._run(x, [("SOE",)])
+
+    def optimize(self, x):
+        return self._run(x, [("OPT",)])
+
+    def solve_optimize(self, x):
+        return self._run(x, [("SOE",), ("OPT",)])
+
+    def solve_optimize_solve(self, x):
+        return self._run(x, [("SOE",), ("OPT",), ("SOE",)])
+
+    def optimize_solve(self, x):
+        return self._run(x, [("OPT",), ("SOE",)])
+
+    # ---------------------------------------------------------------- driver
+    def _run(self, x0, schedule):
+        self.nlp.freeze()
+        t0 = time.perf_counter()
+        self.LastIterNum = 0
+        x, s, lamE, lamI = self._init_state(np.asarray(x0, np.float64),
+                                            self.initMu)
+        flag = ConvergenceFlags.NOTCONVERGED
+        for (mode,) in schedule:
+            x, s, lamE, lamI, flag = self._alg_impl(mode, x, s, lamE, lamI)
+            if flag == ConvergenceFlags.DIVERGING:
+                break
+        self.ConvergeFlag = flag
+        self.LastTotalTime = time.perf_counter() - t0
+        self.LastEqLmults = np.asarray(lamE)
+        self.LastIqLmults = np.asarray(lamI)
+        obj, _, _ = self.nlp.eval_obj_cons(x)
+        self.LastObjVal = float(obj)
+        return np.asarray(x)
+
+    # ------------------------------------------------------------- main loop
+    def _alg_impl(self, mode, x, s, lamE, lamI):
+        nlp = self.nlp
+        n, mE, mI = nlp.numPrimal, nlp.numEq, nlp.numIq
+        sigma = 0.0 if mode == "SOE" else self.ObjScale
+        barmode = self.SoeBarMode if mode == "SOE" else self.OptBarMode
+        lsmode = self.SoeLSMode if mode == "SOE" else self.OptLSMode
+
+        Mu = self.initMu
+        Hpert0 = self.deltaH
+        first_pert = True
+        hfacs_hist = []
+        infos = []
+        flag = ConvergenceFlags.NOTCONVERGED
+
+        for it in range(self.MaxIters):
+            tf0 = time.perf_counter()
+            obj, gradf, cE, cIraw, H, JE, JI = nlp.eval_kkt(
+                x, lamE, lamI, sigma)
+
+            if mI > 0:
+                s, rI = _slack_reset(s, cIraw, self.NegSlackReset)
+                Sig = _sigma_diag(s, lamI, Mu)
+                comp = s * lamI
+                avgcomp = float(jnp.mean(comp))
+                mincomp = float(jnp.min(comp))
+                maxcomp = float(jnp.max(comp))
+            else:
+                rI = cIraw
+                Sig = jnp.zeros((0,), DEFAULT_DTYPE)
+                avgcomp = mincomp = maxcomp = 0.0
+
+            rd = gradf + JE.T @ lamE + JI.T @ lamI
+            self.LastFuncTime += time.perf_counter() - tf0
+
+            # ---------------- factorization with inertia correction ladder
+            tq0 = time.perf_counter()
+            SigInv = jnp.where(Sig > 0, 1.0 / jnp.maximum(Sig, 1e-300), 0.0)
+            target_neigs = mE + mI
+
+            # FastFactorAlg: skip the zero-perturbation probe when recent
+            # iterations always needed perturbation (reference alg_impl).
+            zfac = True
+            if self.FastFactorAlg and it > 6 and ((it * 3) % 4) != 0:
+                cycling = all(hf > 0 for hf in hfacs_hist[-4:])
+                zfac = not cycling
+
+            nfacs = 0
+            nhpert = 0.0
+            factor = None
+            if zfac:
+                factor, neigs = self.kkt.factor(
+                    H, JE, JI, SigInv, 0.0, self.gammaE, self.gammaI)
+                if neigs <= target_neigs:
+                    nhpert = 0.0
+                else:
+                    factor = None
+            if factor is None:
+                p = Hpert0
+                incr = self.incrH * (self.incrH if first_pert else 1.0)
+                for k in range(self.MaxRefac):
+                    factor, neigs = self.kkt.factor(
+                        H, JE, JI, SigInv, p, self.gammaE, self.gammaI)
+                    nfacs = k + 1
+                    nhpert = p
+                    if neigs <= target_neigs:
+                        break
+                    p = p * (incr if k == 0 else self.incrH)
+                if nfacs > 0:
+                    Hpert0 = max(self.deltaH, nhpert * self.decrH)
+                    first_pert = False
+            hfacs_hist.append(nfacs)
+
+            # ------------------------------------------- barrier mu update
+            if mI > 0:
+                if barmode == "PROBE":
+                    # Mehrotra probe: affine step with pure dual gradient
+                    rhs_aff = jnp.concatenate([
+                        rd, cE, rI - SigInv * lamI])
+                    d_aff = -self.kkt.solve(factor, rhs_aff)
+                    dlamI_aff = d_aff[n + mE:]
+                    ds_aff = -(SigInv * (lamI + dlamI_aff)) \
+                        if False else -SigInv * (lamI + dlamI_aff)
+                    s_aff = s + ds_aff
+                    l_aff = lamI + dlamI_aff
+                    navg = float(jnp.mean(s_aff * l_aff))
+                    Mu = (navg / avgcomp) ** 3 * avgcomp if avgcomp != 0 else Mu
+                else:  # LOQO (reference default)
+                    eta = mincomp / avgcomp if avgcomp != 0 else 0.0
+                    sigmat = 0.1 * (0.05 * (1.0 - eta) / max(eta, 1e-300)) ** 3 \
+                        if eta > 0 else 0.8
+                    sig_mu = min(0.8, abs(sigmat))
+                    Mu = sig_mu * avgcomp
+                Mu = float(np.clip(Mu, self.MinMu, self.MaxMu))
+                BarrObj = float(-Mu * jnp.sum(jnp.log(s))) if mI > 0 else 0.0
+                rs = lamI - Mu / s
+            else:
+                BarrObj = 0.0
+                rs = jnp.zeros((0,), DEFAULT_DTYPE)
+
+            # ------------------------------------------------- newton solve
+            rhs = jnp.concatenate([rd, cE, rI - SigInv * rs])
+            d = -self.kkt.solve(factor, rhs)
+            dx, dlamE, dlamI = d[:n], d[n:n + mE], d[n + mE:]
+            ds = -SigInv * (rs + dlamI) if mI > 0 else s
+            good = bool(jnp.isfinite(jnp.sum(d ** 2)))
+            self.LastKKTTime += time.perf_counter() - tq0
+
+            alphap = alphad = 1.0
+            if mI > 0 and good:
+                alphap = float(_max_step_to_boundary(s, ds,
+                                                     self.BoundFraction))
+                alphad = float(_max_step_to_boundary(lamI, dlamI,
+                                                     self.BoundFraction))
+                # PDStepStrategy PrimSlackEq_Iq (reference default):
+                dx = dx * alphap
+                ds = ds * alphap
+                dlamE = dlamE * alphap
+                dlamI = dlamI * alphad
+
+            # -------------------------------------------------- line search
+            tf0 = time.perf_counter()
+            alpha = 1.0
+            if good and lsmode in ("AUGLANG", "L1", "LANG"):
+                alpha = self._line_search(
+                    lsmode, sigma if mode != "SOE" else 0.0, Mu,
+                    float(obj) * sigma, BarrObj,
+                    x, s, lamE, lamI, dx, ds, dlamE, dlamI,
+                    rd, rs, cE, rI)
+            self.LastFuncTime += time.perf_counter() - tf0
+
+            # ----------------------------------------------- iterate record
+            kktinf = float(jnp.max(jnp.abs(rd))) if n else 0.0
+            econinf = float(jnp.max(jnp.abs(cE))) if mE else 0.0
+            iconinf = float(jnp.max(jnp.abs(rI))) if mI else 0.0
+            barrinf = maxcomp
+            infos.append(dict(iter=it, obj=float(obj), kkt=kktinf,
+                              econ=econinf, icon=iconinf, barr=barrinf,
+                              mu=Mu, alpha=alpha, nfacs=nfacs,
+                              hpert=nhpert))
+            if self.PrintLevel == 0:
+                i0 = infos[-1]
+                print(f"  [{mode}] it {it:3d} obj {i0['obj']:+.6e} "
+                      f"kkt {kktinf:8.2e} econ {econinf:8.2e} "
+                      f"icon {iconinf:8.2e} barr {barrinf:8.2e} "
+                      f"mu {Mu:8.2e} a {alpha:5.3f} f {nfacs}")
+
+            flag = self._converge_check(infos)
+            if not good:
+                flag = ConvergenceFlags.DIVERGING
+            if flag in (ConvergenceFlags.CONVERGED,
+                        ConvergenceFlags.ACCEPTABLE,
+                        ConvergenceFlags.DIVERGING) \
+                    or it == self.MaxIters - 1:
+                break
+
+            x = x + alpha * dx
+            if mI > 0:
+                s = s + alpha * ds
+                lamI = lamI + alpha * dlamI
+            lamE = lamE + alpha * dlamE
+
+        self.LastIterNum += len(infos)
+        if self.PrintLevel <= 1:
+            i0 = infos[-1]
+            print(f"PSIOPT [{mode}] {ConvergenceFlags._names[flag]} in "
+                  f"{len(infos)} iters: obj {i0['obj']:+.8e} kkt {i0['kkt']:.2e} "
+                  f"econ {i0['econ']:.2e} icon {i0['icon']:.2e} "
+                  f"barr {i0['barr']:.2e}")
+        return x, s, lamE, lamI, flag
+
+    # ------------------------------------------------------------ line search
+    def _line_search(self, lsmode, sigma, Mu, PrimObj, BarrObj,
+                     x, s, lamE, lamI, dx, ds, dlamE, dlamI,
+                     rd, rs, cE, rI):
+        """Merit line search; AUGLANG branch mirrors reference ls_impl
+        (`PSIOPT.cpp:811`)."""
+        nlp = self.nlp
+        mE, mI = nlp.numEq, nlp.numIq
+        allcons = np.concatenate([np.asarray(cE), np.asarray(rI)])
+        lm = np.concatenate([np.asarray(lamE), np.asarray(lamI)])
+        dlm = np.concatenate([np.asarray(dlamE), np.asarray(dlamI)])
+
+        vv = float(np.concatenate([np.asarray(rd), np.asarray(rs)]) @
+                   np.concatenate([np.asarray(dx), np.asarray(ds)]))
+        cv = float(dlm @ allcons)
+        init_l2 = float(allcons @ allcons)
+        init_linf = float(np.max(np.abs(allcons))) if allcons.size else 0.0
+        sc = (0.01 if lsmode == "AUGLANG" else 0.1) + \
+            abs(vv - cv) / init_l2 if init_l2 > 0 else 1.0
+
+        lang_init = PrimObj + BarrObj
+        init_l1 = float(np.abs(lm) @ np.abs(allcons))
+        lang_init += init_l1 + init_l2 * sc
+
+        alpha = 1.0
+        for j in range(self.MaxLSIters):
+            x2 = x + alpha * dx
+            s2 = s + alpha * ds if mI > 0 else s
+            obj2, cE2, cI2raw = nlp.eval_obj_cons(x2)
+            ptest = float(obj2) * sigma
+            if mI > 0:
+                s2r, rI2 = _slack_reset(s2, cI2raw, self.NegSlackReset)
+                btest = float(-Mu * jnp.sum(jnp.log(s2r)))
+            else:
+                rI2 = cI2raw
+                btest = 0.0
+            allcons2 = np.concatenate([np.asarray(cE2), np.asarray(rI2)])
+            test_l2 = float(allcons2 @ allcons2)
+            test_linf = float(np.max(np.abs(allcons2))) if allcons2.size else 0.0
+
+            if lsmode == "AUGLANG":
+                # L1 term only counts rows still infeasible beyond 10x tol
+                eqerr = np.abs(np.asarray(cE2))
+                iqerr = np.abs(np.asarray(rI2))
+                test_l1 = 0.0
+                if mE:
+                    m = eqerr > self.EContol * 10
+                    test_l1 += float(eqerr[m] @ np.abs(np.asarray(lamE))[m])
+                if mI:
+                    m = iqerr > self.IContol * 10
+                    test_l1 += float(iqerr[m] @ np.abs(np.asarray(lamI))[m])
+                l2eff = test_l2
+                if test_l2 < (self.EContol ** 2 * mE + self.IContol ** 2 * mI):
+                    l2eff = 0.0
+                lang_test = ptest + btest + test_l1 + l2eff * sc
+            else:  # L1 / LANG simplified to the same descent test
+                test_l1 = float(np.abs(lm) @ np.abs(allcons2))
+                lang_test = ptest + btest + test_l1 + test_l2 * sc
+
+            if lang_test < lang_init \
+                    or (ptest < PrimObj and test_l2 < init_l2) \
+                    or (ptest < PrimObj and test_linf < init_linf):
+                break
+            alpha /= self.alphaRed
+        return alpha
+
+    # -------------------------------------------------------- convergence
+    def _converge_check(self, infos):
+        """Reference convergeCheck (`PSIOPT.cpp:130`)."""
+        last = infos[-1]
+        vals = (last["kkt"], last["econ"], last["icon"], last["barr"])
+        if any(not math.isfinite(v) for v in vals) \
+                or last["kkt"] > self.DivKKTtol \
+                or last["econ"] > self.DivEContol \
+                or last["icon"] > self.DivIContol \
+                or last["barr"] > self.DivBartol:
+            return ConvergenceFlags.DIVERGING
+        if (last["kkt"] < self.KKTtol and last["econ"] < self.EContol
+                and last["icon"] < self.IContol and last["barr"] < self.Bartol):
+            return ConvergenceFlags.CONVERGED
+        if len(infos) > self.MaxAccIters:
+            ok = all(
+                i["kkt"] < self.AccKKTtol and i["econ"] < self.AccEContol
+                and i["icon"] < self.AccIContol and i["barr"] < self.AccBartol
+                for i in infos[-self.MaxAccIters:])
+            if ok:
+                return ConvergenceFlags.ACCEPTABLE
+        return ConvergenceFlags.NOTCONVERGED
