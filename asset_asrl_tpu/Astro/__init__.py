@@ -1,1 +1,1 @@
-"""Placeholder — populated in later build steps."""
+"""Astro layer — populated later in the build (reference src/Astro + asset_asrl/Astro)."""

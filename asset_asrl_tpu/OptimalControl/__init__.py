@@ -1,1 +1,9 @@
-"""Placeholder — populated in later build steps."""
+"""asset_asrl_tpu.OptimalControl — the `oc` namespace.
+
+Reference: `asset.OptimalControl` module (`src/OptimalControl/`).
+"""
+
+from .ode import ODEArguments, ODEBase, GenericODE, ode_x, ode_x_u, ode_x_u_p
+from .phase import Phase, PhaseRegionFlags, TranscriptionModes, ControlModes
+from .ocp import OptimalControlProblem, LinkFlags
+from .interp_table import LGLInterpTable, InterpFunction

@@ -1,0 +1,205 @@
+"""Adaptive mesh refinement.
+
+Reference: `ODEPhaseBase.cpp:1443-1584` (checkMesh/updateMesh +
+error-equidistributed re-binning, `MeshIterateInfo.h`).  Estimators:
+
+* "integrator": re-integrate each segment with the adaptive DOPRI54 stepper
+  and compare endpoints (reference get_meshinfo_integrator).
+* "deboor"/"polynomial"/"residual": evaluate the collocation residual
+  |p'(tau) - h f(p(tau))| of the solved Hermite interpolant at off-collocation
+  test points (a defect-residual variant of the reference's polynomial
+  derivative-jump estimator).
+
+updateMesh: new segment count from the error^(1/(order+1)) law clamped by
+MeshRedFactor/MeshIncFactor/Min/MaxSegments, with error-equidistributed bins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..Solvers.psiopt import ConvergenceFlags
+
+_TEST_TAUS = np.array([0.3, 0.7])
+
+
+def _segment_hermite(phase, k):
+    """Hermite polynomial data for solved segment k: returns callables
+    p(sigma), p'(sigma) over local sigma in [0,1] (state only)."""
+    sch = phase._scheme
+    cs = phase._cs
+    nodes = phase.seg_nodes[k]
+    traj = phase._traj
+    XV = phase.XV
+    T = phase.tf - phase.t0
+    h = (phase.seg_bounds[k + 1] - phase.seg_bounds[k]) * T
+    xs = traj[nodes, :XV]
+    fs = np.stack([
+        np.asarray(phase.ode.vf().compute(traj[n])) for n in nodes])
+    # Hermite coefficients: p matches (x_j, h f_j) at cardinal taus
+    deg = 2 * cs - 1
+    A = np.zeros((2 * cs, deg + 1))
+    for j, tc in enumerate(sch.cardinal_tau):
+        A[j] = tc ** np.arange(deg + 1)
+        row = np.zeros(deg + 1)
+        row[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
+        A[cs + j] = row
+    coef = np.linalg.solve(A, np.vstack([xs, h * fs]))  # (deg+1, XV)
+
+    def p(sig):
+        return (sig ** np.arange(deg + 1)) @ coef
+
+    def dp(sig):
+        row = np.zeros(deg + 1)
+        row[1:] = np.arange(1, deg + 1) * sig ** np.arange(deg)
+        return row @ coef
+
+    return p, dp, h, nodes
+
+
+def _residual_errors(phase):
+    """Per-segment defect-residual error estimate."""
+    XV, UV = phase.XV, phase.UV
+    T = phase.tf - phase.t0
+    errs = np.zeros(phase.numSegs)
+    sch = phase._scheme
+    for k in range(phase.numSegs):
+        p, dp, h, nodes = _segment_hermite(phase, k)
+        us = phase._traj[nodes, XV + 1:]
+        t0seg = phase.t0 + phase.seg_bounds[k] * T
+        e = 0.0
+        for sig in _TEST_TAUS:
+            xsig = p(sig)
+            # control: Lagrange interp of cardinal controls
+            from .lgl import lagrange_weights
+            w = lagrange_weights(sch.cardinal_tau, sig)
+            usig = w @ us
+            tsig = t0seg + sig * h
+            row = np.concatenate([xsig, [tsig], usig, phase._odeparams])
+            f = np.asarray(phase.ode.vf().compute(row))
+            e = max(e, float(np.max(np.abs(dp(sig) - h * f))))
+        errs[k] = e
+    return errs
+
+
+def _integrator_errors(phase):
+    """Re-integrate each segment and compare endpoint states
+    (reference get_meshinfo_integrator, `ODEPhase.h:592-660`)."""
+    from ..Integrators import Integrator
+    XV = phase.XV
+    T = phase.tf - phase.t0
+    tab = phase.returnTrajTable()
+    integ = Integrator(phase.ode, 0.05 * T / max(phase.numSegs, 1),
+                       tab, list(range(XV + 1 + phase.UV)))
+    errs = np.zeros(phase.numSegs)
+    for k in range(phase.numSegs):
+        nodes = phase.seg_nodes[k]
+        row0 = phase._traj[nodes[0]]
+        row1 = phase._traj[nodes[-1]]
+        x0 = np.concatenate([row0[:XV + 1], row0[XV + 1:],
+                             phase._odeparams])
+        xf = integ.integrate(x0, row1[XV])
+        errs[k] = float(np.max(np.abs(xf[:XV] - row1[:XV])))
+    return errs
+
+
+def segment_errors(phase):
+    est = phase.MeshErrorEstimator
+    if est == "integrator":
+        try:
+            return _integrator_errors(phase)
+        except Exception:
+            return _residual_errors(phase)
+    return _residual_errors(phase)
+
+
+def trajectory_error(phase):
+    return segment_errors(phase)
+
+
+def _combine(errs, criteria):
+    if criteria in ("max",):
+        return float(np.max(errs))
+    if criteria in ("avg", "mean"):
+        return float(np.mean(errs))
+    if criteria in ("geometric",):
+        return float(np.exp(np.mean(np.log(np.maximum(errs, 1e-300)))))
+    if criteria in ("endtoend",):
+        return float(np.sum(errs))
+    return float(np.max(errs))
+
+
+def update_mesh(phase, errs):
+    """Error-equidistributed re-binning (reference updateMesh +
+    MeshIterateInfo::calc_bins)."""
+    order = phase._scheme.order
+    tol = phase.MeshTol
+    S = phase.numSegs
+    err = _combine(errs, phase.MeshErrorCriteria)
+    growth = (err * phase.MeshErrFactor / tol) ** (1.0 / (order + 1))
+    n_new = int(np.ceil(S * np.clip(growth, phase.MeshRedFactor,
+                                    phase.MeshIncFactor)))
+    n_new = int(np.clip(n_new, phase.MinSegments, phase.MaxSegments))
+
+    # density ~ local error^(1/(order+1)), piecewise constant per old segment
+    dens = np.maximum(errs, 1e-14) ** (1.0 / (order + 1))
+    widths = np.diff(phase.seg_bounds)
+    cum = np.concatenate([[0.0], np.cumsum(dens * widths)])
+    cum /= cum[-1]
+    targets = np.linspace(0.0, 1.0, n_new + 1)
+    new_bounds = np.interp(targets, cum, phase.seg_bounds)
+    new_bounds[0], new_bounds[-1] = 0.0, 1.0
+    # enforce strictly increasing
+    new_bounds = np.maximum.accumulate(new_bounds)
+    for i in range(1, len(new_bounds)):
+        if new_bounds[i] <= new_bounds[i - 1]:
+            new_bounds[i] = new_bounds[i - 1] + 1e-10
+    return n_new, new_bounds
+
+
+def adaptive_mesh_loop(phase, method, flag):
+    """Reference `ODEPhaseBase.cpp:1633-1680`: estimate -> refine ->
+    re-transcribe -> re-solve until MeshTol or MaxMeshIters."""
+    phase.MeshConverged = False
+    for itr in range(phase.MaxMeshIters):
+        errs = segment_errors(phase)
+        err = _combine(errs, phase.MeshErrorCriteria)
+        if phase.optimizer.PrintLevel <= 1:
+            print(f"  [mesh] iter {itr}: segs {phase.numSegs} "
+                  f"err {err:.3e} tol {phase.MeshTol:.1e}")
+        if err < phase.MeshTol:
+            phase.MeshConverged = True
+            return flag
+        n_new, bounds = update_mesh(phase, errs)
+        traj = phase.returnTraj()
+        phase.setTraj(traj, n_new)
+        # install non-uniform bounds from error equidistribution
+        phase._node_structure(n_new)
+        phase.seg_bounds = bounds
+        taus = [0.0]
+        for k in range(n_new):
+            a, b = bounds[k], bounds[k + 1]
+            for ct in phase._scheme.cardinal_tau[1:]:
+                taus.append(a + ct * (b - a))
+        phase.taus = np.asarray(taus)
+        phase.setTraj(traj, n_new)
+        # setTraj resets structure to uniform; re-apply bounds then re-interp
+        phase._node_structure(n_new)
+        phase.seg_bounds = bounds
+        phase.taus = np.asarray(taus)
+        tcol = np.asarray([r[phase.XV] for r in traj])
+        span = tcol[-1] - tcol[0] if tcol[-1] != tcol[0] else 1.0
+        tau_ig = np.maximum.accumulate((tcol - tcol[0]) / span)
+        igm = np.asarray(traj)
+        node_rows = np.empty((phase.numNodes, phase.XV + 1 + phase.UV))
+        for c in range(phase.XV):
+            node_rows[:, c] = np.interp(phase.taus, tau_ig, igm[:, c])
+        node_rows[:, phase.XV] = tcol[0] + phase.taus * span
+        for j in range(phase.UV):
+            node_rows[:, phase.XV + 1 + j] = np.interp(
+                phase.taus, tau_ig, igm[:, phase.XV + 1 + j])
+        phase._traj = node_rows
+        phase._need_transcribe = True
+        flag = phase._psipot_call(method)
+    phase.MeshConverged = False
+    return flag

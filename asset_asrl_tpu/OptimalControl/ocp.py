@@ -1,0 +1,349 @@
+"""OptimalControlProblem: multi-phase container with link constraints.
+
+Reference: `src/OptimalControl/OptimalControlProblem.{h,cpp}` +
+`LinkFunction.h`.  One flat variable vector
+[phase0 vars | phase1 vars | ... | link params]; phases couple only through
+link-constraint rows — the sharding seam for multi-chip distribution
+(SURVEY.md section 2.9 P6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..Solvers.nlp import NonLinearProgram, IndexedFunction
+from ..Solvers.psiopt import PSIOPT, ConvergenceFlags
+from ..VectorFunctions.function import VectorFunction
+from .phase import Phase, _canon_region, _tracefun
+
+__all__ = ["OptimalControlProblem", "LinkFlags"]
+
+
+class LinkFlags:
+    BackToFront = "BackToFront"
+    FrontToBack = "FrontToBack"
+    FrontToFront = "FrontToFront"
+    BackToBack = "BackToBack"
+    LinkParams = "LinkParams"
+    PathToPath = "PathToPath"
+
+
+class OptimalControlProblem:
+
+    def __init__(self):
+        self.Phases: list[Phase] = []
+        self._phase_names = {}
+        self.optimizer = PSIOPT()
+        self._link_params = np.zeros(0)
+        self._link_specs = []
+        self.AdaptiveMesh = False
+        self.Threads = 1
+        self.JetJobMode = "optimize"
+
+    # ----------------------------------------------------------- phase admin
+    def addPhase(self, phase, name=None):
+        self.Phases.append(phase)
+        if name is not None:
+            self._phase_names[name] = phase
+        return phase
+
+    def addPhases(self, phases):
+        for p in phases:
+            self.addPhase(p)
+        return phases
+
+    def removePhase(self, which):
+        p = self._phase(which)
+        self.Phases.remove(p)
+
+    def Phase(self, i):
+        return self._phase(i)
+
+    def _phase(self, p):
+        if isinstance(p, Phase):
+            return p
+        if isinstance(p, str):
+            return self._phase_names[p]
+        return self.Phases[int(p)]
+
+    def _phase_index(self, p):
+        return self.Phases.index(self._phase(p))
+
+    # ------------------------------------------------------------ link params
+    def setLinkParams(self, vals):
+        self._link_params = np.asarray(vals, dtype=np.float64).ravel()
+
+    def returnLinkParams(self):
+        return self._link_params.copy()
+
+    # ----------------------------------------------------------- link builder
+    def _boundary_gather(self, phase, offset, which):
+        """Global indices + tau for one phase boundary: [node vars, t0, tf,
+        op, sp] shifted by the phase's offset."""
+        node = 0 if which == "Front" else phase.numNodes - 1
+        tau = 0.0 if which == "Front" else 1.0
+        m = phase._m
+        idx = [offset + node * m + i for i in range(m)]
+        idx += [offset + phase._t0i, offset + phase._tfi]
+        idx += [offset + phase._opi(k) for k in range(phase.PV)]
+        idx += [offset + phase._spi(k) for k in range(phase.SPV)]
+        return idx, tau
+
+    def _boundary_input(self, phase, g, lo, tau):
+        """Build [x, t, u, op, sp] for one phase boundary from gathered g
+        starting at lo; returns (input_parts, next_lo)."""
+        m = phase._m
+        XV, UV = phase.XV, phase.UV
+        x = g[lo:lo + XV]
+        u = g[lo + XV:lo + m]
+        t0 = g[lo + m]
+        tf = g[lo + m + 1]
+        t = t0 * (1.0 - tau) + tf * tau
+        rest = g[lo + m + 2:lo + m + 2 + phase.PV + phase.SPV]
+        return [x, t[None], u, rest], lo + m + 2 + phase.PV + phase.SPV
+
+    # ------------------------------------------------------------- link API
+    def addForwardLinkEqualCon(self, p0, p1, vars_):
+        """Continuity chain: for each consecutive phase pair between p0 and
+        p1, back-vars == front-vars for XtU indices `vars_`
+        (reference `OptimalControlProblem.h:580-861`)."""
+        i0 = self._phase_index(p0)
+        i1 = self._phase_index(p1)
+        if i1 < 0:
+            i1 = len(self.Phases) + i1
+        vars_ = list(np.asarray(list(vars_), dtype=np.int64).ravel())
+        for k in range(i0, i1):
+            self.addDirectLinkEqualCon(k, "Back", vars_, k + 1, "Front",
+                                       vars_)
+        return len(self._link_specs) - 1
+
+    def addDirectLinkEqualCon(self, *args):
+        """addDirectLinkEqualCon(p0, reg0, vars0, p1, reg1, vars1) or
+        (func, p0, reg0, vars0, p1, reg1, vars1)."""
+        if len(args) == 6:
+            pa, ra, va, pb, rb, vb = args
+            func = None
+        elif len(args) == 7:
+            func, pa, ra, va, pb, rb, vb = args
+        else:
+            raise TypeError("addDirectLinkEqualCon: bad arguments")
+        self._link_specs.append(
+            ("direct", func, self._phase(pa), _canon_region(ra),
+             np.asarray(list(va), np.int64),
+             self._phase(pb), _canon_region(rb),
+             np.asarray(list(vb), np.int64)))
+        return len(self._link_specs) - 1
+
+    def addLinkEqualCon(self, func, *args):
+        """General link constraint over boundary regions of several phases:
+        addLinkEqualCon(func, [(phase, region), ...]) or
+        addLinkEqualCon(func, phase0, reg0, phase1, reg1, ...)."""
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            pr = [(self._phase(p), _canon_region(r)) for p, r in args[0]]
+        else:
+            pr = [(self._phase(args[i]), _canon_region(args[i + 1]))
+                  for i in range(0, len(args), 2)]
+        self._link_specs.append(("general", func, pr))
+        return len(self._link_specs) - 1
+
+    def addLinkParamEqualCon(self, func, pidx):
+        """Equality on link params selected by pidx."""
+        self._link_specs.append(
+            ("linkparams", func, np.asarray(list(pidx), np.int64)))
+        return len(self._link_specs) - 1
+
+    def addLinkObjective(self, func, *args):
+        if len(args) == 1 and isinstance(args[0], (list, tuple)) and \
+                len(args[0]) and isinstance(args[0][0], (list, tuple)):
+            pr = [(self._phase(p), _canon_region(r)) for p, r in args[0]]
+        else:
+            pr = [(self._phase(args[i]), _canon_region(args[i + 1]))
+                  for i in range(0, len(args), 2)]
+        self._link_specs.append(("objective", func, pr))
+        return len(self._link_specs) - 1
+
+    # ------------------------------------------------------------ transcribe
+    def transcribe(self, *_):
+        offsets = []
+        off = 0
+        for p in self.Phases:
+            if p._traj is None:
+                raise ValueError("every phase needs an initial trajectory")
+            offsets.append(off)
+            off += p.numVars
+        self._lp_offset = off
+        nvars = off + self._link_params.size
+        nlp = NonLinearProgram(nvars)
+
+        for p, o in zip(self.Phases, offsets):
+            eqs, iqs, objs = p._build_families()
+            for fam in eqs:
+                nlp.addEqualCon(self._shift(fam, o))
+            for fam in iqs:
+                nlp.addInequalCon(self._shift(fam, o))
+            for fam in objs:
+                nlp.addObjective(self._shift(fam, o))
+
+        for spec in self._link_specs:
+            self._transcribe_link(nlp, spec, offsets)
+
+        nlp.freeze()
+        self._nlp = nlp
+        self._offsets = offsets
+        self.optimizer.setNLP(nlp)
+
+    @staticmethod
+    def _shift(fam: IndexedFunction, offset):
+        return IndexedFunction(fam.fun, fam.Vidx + np.int32(offset),
+                               fam.consts, name=fam.name)
+
+    def _region_pack(self, phase, offset, region):
+        """Gather spec for one phase region used in links: Front/Back/
+        ODEParams/StaticParams."""
+        if region in ("Front", "Back"):
+            idx, tau = self._boundary_gather(phase, offset, region)
+            return ("node", phase, idx, tau)
+        if region == "ODEParams":
+            return ("raw", phase,
+                    [offset + phase._opi(k) for k in range(phase.PV)], 0.0)
+        if region == "StaticParams":
+            return ("raw", phase,
+                    [offset + phase._spi(k) for k in range(phase.SPV)], 0.0)
+        raise ValueError(f"unsupported link region {region}")
+
+    def _transcribe_link(self, nlp, spec, offsets):
+        kind = spec[0]
+        if kind == "direct":
+            _, func, pa, ra, va, pb, rb, vb = spec
+            packa = self._region_pack(pa, offsets[self.Phases.index(pa)], ra)
+            packb = self._region_pack(pb, offsets[self.Phases.index(pb)], rb)
+            idx = packa[2] + packb[2]
+            vaj = jnp.asarray(va)
+            vbj = jnp.asarray(vb)
+            la = len(packa[2])
+
+            def build_inp(pack, g, lo):
+                if pack[0] == "node":
+                    parts, _ = self._boundary_input(pack[1], g, lo, pack[3])
+                    return jnp.concatenate(parts)
+                return g[lo:lo + len(pack[2])]
+
+            if func is None:
+                def fun(g, c):
+                    ia = build_inp(packa, g, 0)
+                    ib = build_inp(packb, g, la)
+                    return ia[vaj] - ib[vbj]
+                nout = len(va)
+            else:
+                trace, _, nout = _tracefun(func)
+                def fun(g, c):
+                    ia = build_inp(packa, g, 0)
+                    ib = build_inp(packb, g, la)
+                    return trace(jnp.concatenate([ia[vaj], ib[vbj]]))
+            nlp.addEqualCon(IndexedFunction(
+                fun, np.asarray([idx], np.int32), np.zeros((1, 1)),
+                name="link"))
+        elif kind in ("general", "objective"):
+            _, func, pr = spec
+            trace, ir, orr = _tracefun(func)
+            idx = []
+            packs = []
+            lp_lo = None
+            for p, r in pr:
+                if r == "LinkParams":
+                    lp_lo = len(idx)
+                    idx += [self._lp_offset + k
+                            for k in range(self._link_params.size)]
+                    continue
+                pack = self._region_pack(p, offsets[self.Phases.index(p)], r)
+                packs.append((pack, len(idx)))
+                idx += pack[2]
+
+            def fun(g, c):
+                parts = []
+                for pack, lo in packs:
+                    if pack[0] == "node":
+                        ps, _ = self._boundary_input(pack[1], g, lo, pack[3])
+                        parts.extend(ps)
+                    else:
+                        parts.append(g[lo:lo + len(pack[2])])
+                if lp_lo is not None:
+                    parts.append(g[lp_lo:])
+                return trace(jnp.concatenate(parts))
+
+            fam = IndexedFunction(fun, np.asarray([idx], np.int32),
+                                  np.zeros((1, 1)), name="link")
+            if kind == "objective":
+                nlp.addObjective(fam)
+            else:
+                nlp.addEqualCon(fam)
+        elif kind == "linkparams":
+            _, func, pidx = spec
+            trace, ir, orr = _tracefun(func)
+            idx = [self._lp_offset + int(k) for k in pidx]
+            fun = lambda g, c: trace(g)
+            nlp.addEqualCon(IndexedFunction(
+                fun, np.asarray([idx], np.int32), np.zeros((1, 1)),
+                name="linkparam"))
+
+    # --------------------------------------------------------------- solving
+    def _make_input(self):
+        return np.concatenate(
+            [p.makeSolverInput() for p in self.Phases] + [self._link_params])
+
+    def _collect(self, V):
+        for p, o in zip(self.Phases, self._offsets):
+            p.collectSolverOutput(V[o:o + p.numVars])
+        if self._link_params.size:
+            self._link_params = np.asarray(V[self._lp_offset:])
+
+    def _call(self, method):
+        self.transcribe()
+        V0 = self._make_input()
+        V = getattr(self.optimizer, method)(V0)
+        self._collect(np.asarray(V))
+        return self.optimizer.ConvergeFlag
+
+    def optimize(self):
+        return self._call("optimize")
+
+    def solve(self):
+        return self._call("solve")
+
+    def solve_optimize(self):
+        return self._call("solve_optimize")
+
+    def solve_optimize_solve(self):
+        return self._call("solve_optimize_solve")
+
+    def optimize_solve(self):
+        return self._call("optimize_solve")
+
+    def jet_run(self):
+        return self._call({"optimize": "optimize", "solve": "solve",
+                           "solve_optimize": "solve_optimize"}.get(
+                               self.JetJobMode, "optimize"))
+
+    # ------------------------------------------------------------------ misc
+    def setThreads(self, *a):
+        pass
+
+    def setAdaptiveMesh(self, flag=True, *a):
+        self.AdaptiveMesh = bool(flag)
+        for p in self.Phases:
+            p.setAdaptiveMesh(flag)
+
+    def setAutoScaling(self, flag=True, *a):
+        for p in self.Phases:
+            p.setAutoScaling(flag)
+
+    def setMeshTol(self, tol):
+        for p in self.Phases:
+            p.setMeshTol(tol)
+
+    def PrintMeshInfo(self, *a):
+        pass
+
+    def setJetJobMode(self, mode):
+        self.JetJobMode = mode

@@ -1,0 +1,965 @@
+"""Phase: collocation transcription of one ODE over a mesh + user API.
+
+TPU-native redesign of `src/OptimalControl/ODEPhase.h` + `ODEPhaseBase.{h,cpp}`
++ `PhaseIndexer.{h,cpp}`:
+
+* Variable layout per phase: [ (x_i, u_i) for node i ] ++ [t0, tf] ++
+  [ODE params] ++ [static params].  Unlike the reference (one time variable
+  per cardinal state + MeshSpacingConstraints tying them to t0/tf,
+  `MeshSpacingConstraints.h`), node times here are affine in the two border
+  variables t0/tf via the fixed normalized mesh tau_i — fewer variables, no
+  spacing rows, and the KKT stays block-banded in node index with a tiny
+  dense border (the sharding seam for the TPU block solver).
+* Every constraint/objective becomes an IndexedFunction family: one traced
+  jnp closure + a (napps, nin) gather matrix + per-application constants
+  (mesh fractions), evaluated with a single vmap per kind.
+* Defects: Hermite-LGL schemes (LGL3/5/7) with coefficients derived in
+  lgl.py; Trapezoidal.  Control modes: FirstOrderSpline (default, reference
+  `ODEPhaseBase.h:51`), HighestOrderSpline, NoSpline, BlockConstant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from ..VectorFunctions.function import VectorFunction
+from ..Solvers.nlp import NonLinearProgram, IndexedFunction
+from ..Solvers.psiopt import PSIOPT, ConvergenceFlags
+from .lgl import get_scheme
+
+__all__ = ["Phase", "PhaseRegionFlags", "TranscriptionModes", "ControlModes"]
+
+
+class TranscriptionModes:
+    LGL3 = "LGL3"
+    LGL5 = "LGL5"
+    LGL7 = "LGL7"
+    Trapezoidal = "Trapezoidal"
+    CentralShooting = "CentralShooting"
+
+
+class ControlModes:
+    HighestOrderSpline = "HighestOrderSpline"
+    FirstOrderSpline = "FirstOrderSpline"
+    NoSpline = "NoSpline"
+    BlockConstant = "BlockConstant"
+
+
+class PhaseRegionFlags:
+    Front = "Front"
+    Back = "Back"
+    Path = "Path"
+    InnerPath = "InnerPath"
+    NodalPath = "NodalPath"
+    FrontandBack = "FrontandBack"
+    BackandFront = "BackandFront"
+    PairWisePath = "PairWisePath"
+    ODEParams = "ODEParams"
+    StaticParams = "StaticParams"
+
+
+_REGION_ALIASES = {
+    "First": "Front", "Last": "Back", "FirstandLast": "FrontandBack",
+    "LastandFirst": "BackandFront", "NodalPath": "Path",
+}
+
+
+def _canon_region(reg):
+    reg = str(reg)
+    return _REGION_ALIASES.get(reg, reg)
+
+
+def _tracefun(f):
+    """Extract a traced callable from a VectorFunction or raw callable."""
+    if isinstance(f, VectorFunction):
+        return f.trace, f.IRows(), f.ORows()
+    raise TypeError("expected a VectorFunction")
+
+
+class _Spec:
+    """One user-added constraint/objective, pre-transcription."""
+
+    def __init__(self, kind, region, fun, nout, name):
+        self.kind = kind          # 'eq' | 'iq' | 'obj' | 'intobj'
+        self.region = region
+        self.fun = fun            # fun(full_region_input (jnp,)) -> (nout,)
+        self.nout = nout
+        self.name = name
+
+
+class Phase:
+
+    def __init__(self, ode, tmode, IG=None, numsegs=None, spacefun=None):
+        self.ode = ode
+        self.TranscriptionMode = str(tmode)
+        self.ControlMode = ControlModes.FirstOrderSpline
+        self.XV, self.UV, self.PV = ode.XVars(), ode.UVars(), ode.PVars()
+        self.SPV = 0                      # static params
+        self._static_params = np.zeros(0)
+        self.optimizer = PSIOPT()
+        self._specs: list[_Spec] = []
+        self.AdaptiveMesh = False
+        self.MeshTol = 1.0e-6
+        self.MaxMeshIters = 10
+        self.MeshErrorEstimator = "integrator"
+        self.MeshErrorCriteria = "max"
+        self.MeshRedFactor = 0.5
+        self.MeshIncFactor = 5.0
+        self.MinSegments = 4
+        self.MaxSegments = 10000
+        self.MeshErrFactor = 10.0
+        self.MeshConverged = False
+        self.AutoScaling = False
+        self._units = None
+        self.Threads = 1
+        self.JetJobMode = "optimize"
+        self._numsegs = None
+        self._traj = None                  # ActiveTraj rows [x, t, u]
+        self._odeparams = np.zeros(self.PV)
+        self._nlp = None
+        self._need_transcribe = True
+        self._eq_mult_slices = {}
+        self._defect_rows = None
+        if numsegs is not None:
+            self.setTraj(IG, numsegs)
+        elif IG is not None:
+            self.setTraj(IG, max(len(IG) - 1, 4))
+
+    # ------------------------------------------------------------------ mesh
+    def _node_structure(self, numsegs):
+        """Set nodes-per-segment layout and normalized node times."""
+        tm = self.TranscriptionMode
+        S = int(numsegs)
+        if tm in ("LGL3", "Trapezoidal"):
+            self._cs = 2
+        elif tm == "LGL5":
+            self._cs = 3
+        elif tm == "LGL7":
+            self._cs = 4
+        else:
+            raise NotImplementedError(f"transcription mode {tm}")
+        cs = self._cs
+        self._scheme = get_scheme("LGL3" if tm == "Trapezoidal" else tm)
+        self.numSegs = S
+        self.numNodes = S * (cs - 1) + 1
+        bounds = np.linspace(0.0, 1.0, S + 1)
+        taus = [0.0]
+        for k in range(S):
+            a, b = bounds[k], bounds[k + 1]
+            for ct in self._scheme.cardinal_tau[1:]:
+                taus.append(a + ct * (b - a))
+        self.taus = np.asarray(taus)
+        self.seg_bounds = bounds
+        # cardinal node indices per segment
+        self.seg_nodes = np.stack([
+            np.arange(k * (cs - 1), k * (cs - 1) + cs) for k in range(S)])
+
+    # -------------------------------------------------------- variable layout
+    @property
+    def _m(self):
+        return self.XV + self.UV
+
+    def _xvar(self, node, i):
+        return node * self._m + i
+
+    def _uvar(self, node, j):
+        if self.ControlMode == ControlModes.BlockConstant:
+            cs = self._cs
+            seg = min(node // (cs - 1), self.numSegs - 1)
+            node = seg * (cs - 1)
+        return node * self._m + self.XV + j
+
+    @property
+    def _t0i(self):
+        return self.numNodes * self._m
+
+    @property
+    def _tfi(self):
+        return self._t0i + 1
+
+    def _opi(self, k):
+        return self._tfi + 1 + k
+
+    def _spi(self, k):
+        return self._tfi + 1 + self.PV + k
+
+    @property
+    def numVars(self):
+        return self.numNodes * self._m + 2 + self.PV + self.SPV
+
+    # ------------------------------------------------------------------- IG
+    def setTraj(self, IG, numsegs=None, *args):
+        IG = np.asarray([np.asarray(r, dtype=np.float64).ravel() for r in IG])
+        need = self.XV + 1 + self.UV
+        if IG.shape[1] < need:
+            raise ValueError(
+                f"IG rows must have at least {need} entries [x,t,u]")
+        if numsegs is None:
+            numsegs = self._numsegs or max(len(IG) - 1, 4)
+        self._numsegs = int(numsegs)
+        self._node_structure(self._numsegs)
+        tcol = IG[:, self.XV]
+        self.t0 = float(tcol[0])
+        self.tf = float(tcol[-1])
+        span = self.tf - self.t0 if self.tf != self.t0 else 1.0
+        tau_ig = (tcol - self.t0) / span
+        # guard monotonicity for interp
+        tau_ig = np.maximum.accumulate(tau_ig)
+        cols = [c for c in range(IG.shape[1]) if c != self.XV]
+        node_rows = np.empty((self.numNodes, self.XV + 1 + self.UV))
+        for ci, c in enumerate([*range(self.XV)]):
+            node_rows[:, c] = np.interp(self.taus, tau_ig, IG[:, c])
+        node_rows[:, self.XV] = self.t0 + self.taus * span
+        for j in range(self.UV):
+            node_rows[:, self.XV + 1 + j] = np.interp(
+                self.taus, tau_ig, IG[:, self.XV + 1 + j])
+        self._traj = node_rows
+        if self.PV > 0 and IG.shape[1] >= need + self.PV:
+            self._odeparams = IG[:, need:need + self.PV].mean(axis=0)
+        self._need_transcribe = True
+
+    def refineTrajManual(self, numsegs):
+        """Re-mesh the current trajectory onto `numsegs` segments
+        (reference `ODEPhaseBase.cpp:673`)."""
+        traj = self.returnTraj()
+        self.setTraj(traj, numsegs)
+
+    def refineTrajEqual(self, numsegs):
+        self.refineTrajManual(numsegs)
+
+    def subVariables(self, *a):
+        raise NotImplementedError
+
+    def subVariable(self, *a):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ params API
+    def setStaticParams(self, vals, *args):
+        self._static_params = np.asarray(vals, dtype=np.float64).ravel()
+        self.SPV = self._static_params.size
+        self._need_transcribe = True
+
+    def setControlMode(self, mode):
+        self.ControlMode = str(mode)
+        self._need_transcribe = True
+
+    def setThreads(self, *a):
+        pass
+
+    def setUnits(self, *a, **kw):
+        self._units = (a, kw)
+
+    def setAutoScaling(self, flag=True, *a):
+        self.AutoScaling = bool(flag)
+
+    def setAdaptiveMesh(self, flag=True, *a):
+        self.AdaptiveMesh = bool(flag)
+
+    def setMeshTol(self, tol):
+        self.MeshTol = float(tol)
+
+    def setMaxMeshIters(self, n):
+        self.MaxMeshIters = int(n)
+
+    def setMeshErrorEstimator(self, est):
+        self.MeshErrorEstimator = str(est)
+
+    def setMeshErrorCriteria(self, c):
+        self.MeshErrorCriteria = str(c)
+
+    def setMeshErrFactor(self, f):
+        self.MeshErrFactor = float(f)
+
+    def setMeshRedFactor(self, f):
+        self.MeshRedFactor = float(f)
+
+    def setMeshIncFactor(self, f):
+        self.MeshIncFactor = float(f)
+
+    def setMinSegments(self, n):
+        self.MinSegments = int(n)
+
+    def setMaxSegments(self, n):
+        self.MaxSegments = int(n)
+
+    def PrintMeshInfo(self, *a):
+        pass
+
+    # ------------------------------------------------- region input assembly
+    def _region_apps(self, region):
+        """Node tuples + taus per application for a node-based region."""
+        N = self.numNodes
+        region = _canon_region(region)
+        if region == "Front":
+            return [(0,)], [(0.0,)]
+        if region == "Back":
+            return [(N - 1,)], [(1.0,)]
+        if region == "Path":
+            return [(i,) for i in range(N)], [(self.taus[i],)
+                                              for i in range(N)]
+        if region == "InnerPath":
+            return [(i,) for i in range(1, N - 1)], \
+                [(self.taus[i],) for i in range(1, N - 1)]
+        if region == "FrontandBack":
+            return [(0, N - 1)], [(0.0, 1.0)]
+        if region == "BackandFront":
+            return [(N - 1, 0)], [(1.0, 0.0)]
+        if region == "PairWisePath":
+            return [(i, i + 1) for i in range(N - 1)], \
+                [(self.taus[i], self.taus[i + 1]) for i in range(N - 1)]
+        raise ValueError(f"unsupported phase region: {region}")
+
+    def _gather_nodes(self, nodes_per_app):
+        """Vidx rows: [node vars ... , t0, tf, odeparams, staticparams]."""
+        m = self._m
+        rows = []
+        tail = [self._t0i, self._tfi] + \
+            [self._opi(k) for k in range(self.PV)] + \
+            [self._spi(k) for k in range(self.SPV)]
+        for nodes in nodes_per_app:
+            row = []
+            for nd in nodes:
+                row.extend([self._xvar(nd, i) for i in range(self.XV)])
+                row.extend([self._uvar(nd, j) for j in range(self.UV)])
+            row.extend(tail)
+            rows.append(row)
+        return np.asarray(rows, dtype=np.int32)
+
+    def _region_input_fun(self, user_fun, nnodes):
+        """Wrap user_fun (input [xtu_1,...,xtu_k, op, sp]) over the gathered
+        variables [nodevars..., t0, tf, op, sp] with node times affine in
+        (t0, tf)."""
+        XV, UV, PV, SPV = self.XV, self.UV, self.PV, self.SPV
+        m = XV + UV
+
+        def fun(g, c):
+            t0 = g[nnodes * m]
+            tf = g[nnodes * m + 1]
+            parts = []
+            for j in range(nnodes):
+                x = g[j * m:j * m + XV]
+                u = g[j * m + XV:(j + 1) * m]
+                t = t0 * (1.0 - c[j]) + tf * c[j]
+                parts.extend([x, t[None], u])
+            parts.append(g[nnodes * m + 2:])   # op ++ sp
+            return jnp.atleast_1d(user_fun(jnp.concatenate(parts)))
+        return fun
+
+    def _region_family(self, region, user_fun, nout, name):
+        region = _canon_region(region)
+        if region in ("ODEParams", "StaticParams"):
+            if region == "ODEParams":
+                idx = [[self._opi(k) for k in range(self.PV)]]
+            else:
+                idx = [[self._spi(k) for k in range(self.SPV)]]
+            fun = lambda g, c: jnp.atleast_1d(user_fun(g))
+            return IndexedFunction(fun, np.asarray(idx, np.int32),
+                                   np.zeros((1, 1)), name=name)
+        apps, taus = self._region_apps(region)
+        Vidx = self._gather_nodes(apps)
+        consts = np.asarray(taus, dtype=np.float64)
+        fun = self._region_input_fun(user_fun, len(apps[0]))
+        return IndexedFunction(fun, Vidx, consts, name=name)
+
+    def _region_input_width(self, region):
+        region = _canon_region(region)
+        per = self.XV + 1 + self.UV
+        if region == "ODEParams":
+            return self.PV
+        if region == "StaticParams":
+            return self.SPV
+        if region in ("FrontandBack", "BackandFront", "PairWisePath"):
+            return 2 * per + self.PV + self.SPV if False else 2 * per
+        return per
+
+    # ------------------------------------------------------------- user API
+    def _add(self, kind, region, fun, nout, name):
+        self._specs.append(_Spec(kind, region, fun, nout, name))
+        self._need_transcribe = True
+        return len(self._specs) - 1
+
+    def addEqualCon(self, region, func, *args):
+        tf_, ir, orr = self._prep_user_func(region, func, args)
+        return self._add("eq", region, tf_, orr, "user_eq")
+
+    def addInequalCon(self, region, func, *args):
+        tf_, ir, orr = self._prep_user_func(region, func, args)
+        return self._add("iq", region, tf_, orr, "user_iq")
+
+    def _prep_user_func(self, region, func, args):
+        """Normalize (func, optional index subsets) into a full-region-input
+        closure.  Supports addEqualCon(reg, func, XtUVars[, OPVars, SPVars])
+        subset forms (reference `OptimizationProblem.h:90-132` analogs)."""
+        trace, ir, orr = _tracefun(func)
+        width = self._region_input_width(region)
+        if not args:
+            if ir != width:
+                # maybe function over [xtu..., op, sp]
+                if ir == width + self.PV + self.SPV and \
+                        _canon_region(region) not in ("ODEParams",
+                                                      "StaticParams"):
+                    per_n = width
+                    def f_full(inp):
+                        return trace(inp)
+                    return f_full, ir, orr
+                raise ValueError(
+                    f"function input size {ir} != region width {width}")
+            reg = _canon_region(region)
+            if reg not in ("ODEParams", "StaticParams"):
+                per = width
+                def f_trim(inp, per=per):
+                    return trace(inp[:per])
+                return f_trim, ir, orr
+            return trace, ir, orr
+        # subset index form
+        xtuv = np.asarray(args[0], dtype=np.int64).ravel()
+        opv = np.asarray(args[1], dtype=np.int64).ravel() if len(args) > 1 \
+            else np.zeros(0, np.int64)
+        spv = np.asarray(args[2], dtype=np.int64).ravel() if len(args) > 2 \
+            else np.zeros(0, np.int64)
+        per = self.XV + 1 + self.UV
+        nnodes = 2 if _canon_region(region) in (
+            "FrontandBack", "BackandFront", "PairWisePath") else 1
+        sel = np.concatenate([
+            xtuv,
+            nnodes * per + opv,
+            nnodes * per + self.PV + spv]).astype(np.int64)
+        if len(sel) != ir:
+            raise ValueError(
+                f"selected {len(sel)} vars but function takes {ir}")
+        selj = jnp.asarray(sel)
+
+        def f_sub(inp):
+            return trace(inp[selj])
+        return f_sub, ir, orr
+
+    # boundary values / locks ------------------------------------------------
+    def addBoundaryValue(self, region, indices, values):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        vals = jnp.asarray(np.asarray(values, dtype=np.float64).ravel())
+        def fun(inp):
+            return inp[idx] - vals
+        return self._add("eq", region, fun, int(idx.shape[0]), "boundary")
+
+    def addValueLock(self, region, indices):
+        """Pin variables to their current IG values (reference
+        `ODEPhaseBase.cpp:95`)."""
+        vals = self._values_at_region(region, indices)
+        return self.addBoundaryValue(region, indices, vals)
+
+    def addPeriodicityCon(self, indices):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        per = self.XV + 1 + self.UV
+        def fun(inp):
+            return inp[idx] - inp[idx + per]
+        return self._add("eq", "FrontandBack", fun, int(idx.shape[0]),
+                         "periodicity")
+
+    def _values_at_region(self, region, indices):
+        region = _canon_region(region)
+        row = {"Front": 0, "Back": self.numNodes - 1}.get(region)
+        if row is None:
+            raise ValueError("addValueLock supports Front/Back")
+        full = np.concatenate([self._traj[0 if row == 0 else -1]])
+        return full[np.asarray(indices, dtype=np.int64)]
+
+    # bounds ----------------------------------------------------------------
+    def addLUVarBound(self, region, var, lb, ub, scale=1.0):
+        var = int(var); lb = float(lb); ub = float(ub); s = float(scale)
+        def fun(inp):
+            v = inp[var]
+            return jnp.stack([(lb - v) * s, (v - ub) * s])
+        return self._add("iq", region, fun, 2, "luvarbound")
+
+    def addLUVarBounds(self, region, varlist, lb, ub, scale=1.0):
+        out = []
+        for v in np.asarray(varlist).ravel():
+            out.append(self.addLUVarBound(region, int(v), lb, ub, scale))
+        return out
+
+    def addLowerVarBound(self, region, var, lb, scale=1.0):
+        var = int(var); lb = float(lb); s = float(scale)
+        def fun(inp):
+            return ((lb - inp[var]) * s)[None]
+        return self._add("iq", region, fun, 1, "lowerbound")
+
+    def addUpperVarBound(self, region, var, ub, scale=1.0):
+        var = int(var); ub = float(ub); s = float(scale)
+        def fun(inp):
+            return ((inp[var] - ub) * s)[None]
+        return self._add("iq", region, fun, 1, "upperbound")
+
+    def addLUFuncBound(self, region, func, indices, lb, ub, scale=1.0):
+        trace, ir, orr = _tracefun(func)
+        if orr != 1:
+            raise ValueError("func bound requires scalar function")
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        lb = float(lb); ub = float(ub); s = float(scale)
+        def fun(inp):
+            v = trace(inp[idx])[0]
+            return jnp.stack([(lb - v) * s, (v - ub) * s])
+        return self._add("iq", region, fun, 2, "lufuncbound")
+
+    def addLowerFuncBound(self, region, func, indices, lb, scale=1.0):
+        trace, ir, orr = _tracefun(func)
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        lb = float(lb); s = float(scale)
+        def fun(inp):
+            return (lb - trace(inp[idx])[0])[None] * s
+        return self._add("iq", region, fun, 1, "lowerfuncbound")
+
+    def addUpperFuncBound(self, region, func, indices, ub, scale=1.0):
+        trace, ir, orr = _tracefun(func)
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        ub = float(ub); s = float(scale)
+        def fun(inp):
+            return (trace(inp[idx])[0] - ub)[None] * s
+        return self._add("iq", region, fun, 1, "upperfuncbound")
+
+    def addLUNormBound(self, region, indices, lb, ub, scale=1.0):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        lb = float(lb); ub = float(ub); s = float(scale)
+        def fun(inp):
+            nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
+            return jnp.stack([(lb - nv) * s, (nv - ub) * s])
+        return self._add("iq", region, fun, 2, "lunormbound")
+
+    def addLowerNormBound(self, region, indices, lb, scale=1.0):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        lb = float(lb); s = float(scale)
+        def fun(inp):
+            nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
+            return ((lb - nv) * s)[None]
+        return self._add("iq", region, fun, 1, "lowernormbound")
+
+    def addUpperNormBound(self, region, indices, ub, scale=1.0):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        ub = float(ub); s = float(scale)
+        def fun(inp):
+            nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
+            return ((nv - ub) * s)[None]
+        return self._add("iq", region, fun, 1, "uppernormbound")
+
+    def addLUSquaredNormBound(self, region, indices, lb, ub, scale=1.0):
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        lb = float(lb); ub = float(ub); s = float(scale)
+        def fun(inp):
+            nv = jnp.sum(jnp.square(inp[idx]))
+            return jnp.stack([(lb - nv) * s, (nv - ub) * s])
+        return self._add("iq", region, fun, 2, "lusqnormbound")
+
+    def addUpperDeltaTimeBound(self, ub, scale=1.0):
+        ub = float(ub); s = float(scale)
+        per = self.XV + 1 + self.UV
+        tv = self.XV
+        def fun(inp):
+            return ((inp[per + tv] - inp[tv] - ub) * s)[None]
+        return self._add("iq", "FrontandBack", fun, 1, "upperdtbound")
+
+    def addLowerDeltaTimeBound(self, lb, scale=1.0):
+        lb = float(lb); s = float(scale)
+        per = self.XV + 1 + self.UV
+        tv = self.XV
+        def fun(inp):
+            return ((lb - (inp[per + tv] - inp[tv])) * s)[None]
+        return self._add("iq", "FrontandBack", fun, 1, "lowerdtbound")
+
+    def addDeltaVarEqualCon(self, var, value, scale=1.0):
+        var = int(var); value = float(value); s = float(scale)
+        per = self.XV + 1 + self.UV
+        def fun(inp):
+            return ((inp[per + var] - inp[var] - value) * s)[None]
+        return self._add("eq", "FrontandBack", fun, 1, "deltavareq")
+
+    def addDeltaTimeEqualCon(self, value, scale=1.0):
+        return self.addDeltaVarEqualCon(self.XV, value, scale)
+
+    # objectives -------------------------------------------------------------
+    def addValueObjective(self, region, var, scale=1.0):
+        var = int(var); s = float(scale)
+        def fun(inp):
+            return (inp[var] * s)[None]
+        return self._add("obj", region, fun, 1, "valueobj")
+
+    def addStateObjective(self, region, func, *args):
+        tf_, ir, orr = self._prep_user_func(region, func, args)
+        if orr != 1:
+            raise ValueError("objective must be scalar")
+        return self._add("obj", region, tf_, 1, "stateobj")
+
+    def addDeltaVarObjective(self, var, scale=1.0):
+        var = int(var); s = float(scale)
+        per = self.XV + 1 + self.UV
+        def fun(inp):
+            return ((inp[per + var] - inp[var]) * s)[None]
+        return self._add("obj", "FrontandBack", fun, 1, "deltavarobj")
+
+    def addDeltaTimeObjective(self, scale=1.0):
+        return self.addDeltaVarObjective(self.XV, scale)
+
+    def addIntegralObjective(self, func, indices, *args):
+        trace, ir, orr = _tracefun(func)
+        if orr != 1:
+            raise ValueError("integral objective must be scalar")
+        idx = np.asarray(indices, dtype=np.int64).ravel()
+        if len(idx) != ir:
+            raise ValueError("index list width != function input size")
+        return self._add("intobj", "Integral", (trace, idx), 1, "intobj")
+
+    def removeStateObjective(self, which=-1):
+        self._remove_kind("obj", which)
+
+    def removeIntegralObjective(self, which=-1):
+        self._remove_kind("intobj", which)
+
+    def removeEqualCon(self, which=-1):
+        self._remove_kind("eq", which)
+
+    def _remove_kind(self, kind, which):
+        idxs = [i for i, s in enumerate(self._specs) if s.kind == kind]
+        if not idxs:
+            return
+        del self._specs[idxs[which]]
+        self._need_transcribe = True
+
+    def addIntegralParamFunction(self, func, indices, pnum):
+        """Accumulate an integral into static param pnum (reference
+        `ODEPhaseBase.h` addIntegralParamFunction): implemented as the
+        equality  sum_segments quad(f) - sp[pnum] = 0."""
+        trace, ir, orr = _tracefun(func)
+        idx = np.asarray(indices, dtype=np.int64).ravel()
+        self._specs.append(
+            _Spec("inteq", "Integral", (trace, idx, int(pnum)), 1,
+                  "intparam"))
+        self._need_transcribe = True
+
+    # ------------------------------------------------------------ transcribe
+    def _defect_family(self):
+        cs = self._cs
+        sch = self._scheme
+        XV, UV, PV = self.XV, self.UV, self.PV
+        m = self._m
+        ode_rhs = self.ode.vf().trace
+        trap = self.TranscriptionMode == "Trapezoidal"
+
+        x_int = jnp.asarray(sch.x_interp)
+        dx_int = jnp.asarray(sch.dx_interp)
+        u_int = jnp.asarray(sch.u_interp)
+        x_def = jnp.asarray(sch.x_def)
+        dx_def = jnp.asarray(sch.dx_def)
+        i_def = jnp.asarray(sch.int_def)
+        ctau = jnp.asarray(sch.cardinal_tau)
+        itau = jnp.asarray(sch.interior_tau)
+
+        def fun(g, c):
+            t0 = g[cs * m]
+            tf = g[cs * m + 1]
+            p = g[cs * m + 2:cs * m + 2 + PV]
+            T = tf - t0
+            dtau = c[1] - c[0]
+            h = dtau * T
+            xs = jnp.stack([g[j * m:j * m + XV] for j in range(cs)])
+            us = jnp.stack([g[j * m + XV:(j + 1) * m] for j in range(cs)])
+            ts = t0 + (c[0] + ctau * dtau) * T
+            fs = jnp.stack([
+                ode_rhs(jnp.concatenate([xs[j], ts[j][None], us[j], p]))
+                for j in range(cs)])
+            if trap:
+                d = xs[0] - xs[1] + 0.5 * h * (fs[0] + fs[1])
+                return d
+            x_i = x_int @ xs + h * (dx_int @ fs)        # (cs-1, XV)
+            u_i = u_int @ us                            # (cs-1, UV)
+            t_i = t0 + (c[0] + itau * dtau) * T
+            f_i = jnp.stack([
+                ode_rhs(jnp.concatenate([x_i[i], t_i[i][None], u_i[i], p]))
+                for i in range(cs - 1)])
+            d = x_def @ xs + h * (dx_def @ fs) + h * (i_def[:, None] * f_i)
+            return d.reshape(-1)
+
+        apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
+        Vidx = self._gather_nodes(apps)
+        consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]], axis=1)
+        nout = (cs - 1) * XV if not trap else XV
+        return IndexedFunction(fun, Vidx, consts, name="defects")
+
+    def _control_families(self):
+        """Control regularity constraints per ControlMode (reference
+        `LGLControlSplines.h`, Blocked_ODE_Wrapper)."""
+        fams = []
+        cs, UV, m = self._cs, self.UV, self._m
+        if UV == 0 or self.TranscriptionMode in ("Trapezoidal",):
+            return fams
+        sch = self._scheme
+        mode = self.ControlMode
+        if mode == ControlModes.BlockConstant:
+            # pin orphaned per-node control slots (their gather is rewired to
+            # the segment block slot) to keep the KKT nonsingular
+            orphan_nodes = [i for i in range(self.numNodes)
+                            if not (i % (cs - 1) == 0
+                                    and i // (cs - 1) < self.numSegs)]
+            if orphan_nodes:
+                rows = np.asarray(
+                    [[nd * m + self.XV + j for j in range(UV)]
+                     for nd in orphan_nodes], np.int32)
+                def pin(g, c):
+                    return g
+                fams.append(IndexedFunction(
+                    pin, rows, np.zeros((len(orphan_nodes), 1)),
+                    name="blockpin"))
+            return fams
+        if cs == 2:
+            return fams  # piecewise-linear control needs no extra rows
+        if mode == ControlModes.NoSpline:
+            return fams
+        if mode == ControlModes.FirstOrderSpline:
+            # interior cardinal controls = linear interp of segment endpoints
+            interior = list(range(1, cs - 1))
+            ct = sch.cardinal_tau
+            w = np.asarray([[1.0 - ct[j], ct[j]] for j in interior])
+            wj = jnp.asarray(w)
+            def fun(g, c):
+                us = jnp.stack([g[j * m + self.XV:(j + 1) * m]
+                                for j in range(cs)])
+                lin = wj @ jnp.stack([us[0], us[-1]])
+                return (us[1:cs - 1] - lin).reshape(-1)
+            apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
+            Vidx = self._gather_nodes(apps)
+            consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]],
+                              axis=1)
+            fams.append(IndexedFunction(fun, Vidx, consts, name="uspline1"))
+            return fams
+        if mode == ControlModes.HighestOrderSpline:
+            # derivative continuity across segment junctions
+            d0 = jnp.asarray(sch.u_dtau0)
+            d1 = jnp.asarray(sch.u_dtau1)
+            def fun(g, c):
+                # g: two adjacent segments' nodes (2*cs-1 distinct nodes)
+                t0 = g[(2 * cs - 1) * m]
+                tf = g[(2 * cs - 1) * m + 1]
+                T = tf - t0
+                h0 = (c[1] - c[0]) * T
+                h1 = (c[2] - c[1]) * T
+                usA = jnp.stack([g[j * m + self.XV:(j + 1) * m]
+                                 for j in range(cs)])
+                usB = jnp.stack([g[j * m + self.XV:(j + 1) * m]
+                                 for j in range(cs - 1, 2 * cs - 1)])
+                return ((d1 @ usA) / h0 - (d0 @ usB) / h1).reshape(-1)
+            apps = []
+            consts = []
+            for k in range(self.numSegs - 1):
+                nodes = tuple(self.seg_nodes[k]) + \
+                    tuple(self.seg_nodes[k + 1][1:])
+                apps.append(nodes)
+                consts.append([self.seg_bounds[k], self.seg_bounds[k + 1],
+                               self.seg_bounds[k + 2]])
+            if apps:
+                Vidx = self._gather_nodes(apps)
+                fams.append(IndexedFunction(
+                    fun, Vidx, np.asarray(consts), name="usplineH"))
+            return fams
+        return fams
+
+    def _integral_family(self, trace, idx, extra_sp=None):
+        """Per-segment quadrature family: reduced (cardinal-only) weights.
+
+        Reference: LGLIntegrals/TrapezoidalIntegrals
+        (`src/OptimalControl/LGL*.h`)."""
+        cs, m, XV, UV, PV = self._cs, self._m, self.XV, self.UV, self.PV
+        sch = self._scheme
+        wq = jnp.asarray(sch.quad_reduced)
+        ctau = jnp.asarray(sch.cardinal_tau)
+        idxj = jnp.asarray(idx)
+        spsel = None if extra_sp is None else int(extra_sp)
+
+        def fun(g, c):
+            t0 = g[cs * m]
+            tf = g[cs * m + 1]
+            T = tf - t0
+            dtau = c[1] - c[0]
+            h = dtau * T
+            vals = []
+            for j in range(cs):
+                x = g[j * m:j * m + XV]
+                u = g[j * m + XV:(j + 1) * m]
+                t = t0 + (c[0] + ctau[j] * dtau) * T
+                xtu = jnp.concatenate([x, t[None], u, g[cs * m + 2:]])
+                vals.append(trace(xtu[idxj])[0])
+            integ = h * (wq @ jnp.stack(vals))
+            if spsel is not None:
+                # equality: integral share minus sp/numSegs
+                sp = g[cs * m + 2 + PV + spsel]
+                return (integ - sp * c[2])[None]
+            return integ[None]
+
+        apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
+        Vidx = self._gather_nodes(apps)
+        if spsel is not None:
+            consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:],
+                               np.full(self.numSegs, 1.0 / self.numSegs)],
+                              axis=1)
+        else:
+            consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]],
+                              axis=1)
+        return IndexedFunction(fun, Vidx, consts, name="integral")
+
+    def _build_families(self):
+        """(eqs, iqs, objs) IndexedFunction lists in phase-local indices."""
+        eqs, iqs, objs = [], [], []
+        self._defect_fam = self._defect_family()
+        eqs.append(self._defect_fam)
+        eqs.extend(self._control_families())
+        for spec in self._specs:
+            if spec.kind == "intobj":
+                trace, idx = spec.fun
+                objs.append(self._integral_family(trace, idx))
+            elif spec.kind == "inteq":
+                trace, idx, pnum = spec.fun
+                eqs.append(self._integral_family(trace, idx, pnum))
+            elif spec.kind == "obj":
+                objs.append(
+                    self._region_family(spec.region, spec.fun, 1, spec.name))
+            elif spec.kind == "eq":
+                eqs.append(
+                    self._region_family(spec.region, spec.fun, spec.nout,
+                                        spec.name))
+            elif spec.kind == "iq":
+                iqs.append(
+                    self._region_family(spec.region, spec.fun, spec.nout,
+                                        spec.name))
+        return eqs, iqs, objs
+
+    def transcribe(self, *_):
+        nlp = NonLinearProgram(self.numVars)
+        eqs, iqs, objs = self._build_families()
+        for f in eqs:
+            nlp.addEqualCon(f)
+        for f in iqs:
+            nlp.addInequalCon(f)
+        for f in objs:
+            nlp.addObjective(f)
+        nlp.freeze()
+        self._nlp = nlp
+        self.optimizer.setNLP(nlp)
+        self._need_transcribe = False
+
+    # --------------------------------------------------------- solve entries
+    def makeSolverInput(self):
+        V = np.zeros(self.numVars)
+        m = self._m
+        for i in range(self.numNodes):
+            V[i * m:i * m + self.XV] = self._traj[i, :self.XV]
+            V[i * m + self.XV:(i + 1) * m] = self._traj[i, self.XV + 1:]
+        V[self._t0i] = self.t0
+        V[self._tfi] = self.tf
+        for k in range(self.PV):
+            V[self._opi(k)] = self._odeparams[k]
+        for k in range(self.SPV):
+            V[self._spi(k)] = self._static_params[k]
+        return V
+
+    def collectSolverOutput(self, V):
+        m = self._m
+        self.t0 = float(V[self._t0i])
+        self.tf = float(V[self._tfi])
+        traj = np.empty((self.numNodes, self.XV + 1 + self.UV))
+        for i in range(self.numNodes):
+            traj[i, :self.XV] = V[i * m:i * m + self.XV]
+            traj[i, self.XV] = self.t0 + self.taus[i] * (self.tf - self.t0)
+            traj[i, self.XV + 1:] = V[i * m + self.XV:(i + 1) * m]
+        if self.ControlMode == ControlModes.BlockConstant:
+            for i in range(self.numNodes):
+                traj[i, self.XV + 1:] = V[
+                    self._uvar(i, 0):self._uvar(i, 0) + self.UV]
+        self._traj = traj
+        for k in range(self.PV):
+            self._odeparams[k] = V[self._opi(k)]
+        if self.SPV:
+            self._static_params = np.array(
+                [V[self._spi(k)] for k in range(self.SPV)])
+
+    def _psipot_call(self, method):
+        if self._need_transcribe or self._nlp is None:
+            self.transcribe()
+        V0 = self.makeSolverInput()
+        V = getattr(self.optimizer, method)(V0)
+        self.collectSolverOutput(np.asarray(V))
+        return self.optimizer.ConvergeFlag
+
+    def _mesh_call(self, method):
+        flag = self._psipot_call(method)
+        if not self.AdaptiveMesh:
+            return flag
+        from .mesh import adaptive_mesh_loop
+        return adaptive_mesh_loop(self, method, flag)
+
+    def optimize(self):
+        return self._mesh_call("optimize")
+
+    def solve(self):
+        return self._mesh_call("solve")
+
+    def solve_optimize(self):
+        return self._mesh_call("solve_optimize")
+
+    def solve_optimize_solve(self):
+        return self._mesh_call("solve_optimize_solve")
+
+    def optimize_solve(self):
+        return self._mesh_call("optimize_solve")
+
+    def jet_run(self):
+        return self._mesh_call({"optimize": "optimize", "solve": "solve",
+                                "solve_optimize": "solve_optimize"}.get(
+                                    self.JetJobMode, "optimize"))
+
+    # ----------------------------------------------------------- extraction
+    def returnTraj(self):
+        out = self._traj.copy()
+        if self.PV > 0:
+            out = np.hstack([out, np.tile(self._odeparams,
+                                          (out.shape[0], 1))])
+        return [row.copy() for row in out]
+
+    def returnTrajTable(self):
+        from .interp_table import LGLInterpTable
+        return LGLInterpTable(self.ode, self.returnTraj())
+
+    def returnStaticParams(self):
+        return self._static_params.copy()
+
+    def returnTrajError(self):
+        from .mesh import trajectory_error
+        return trajectory_error(self)
+
+    def returnCostateTraj(self):
+        """Costate estimate from defect multipliers (reference
+        `ODEPhaseBase.cpp:432`): lambda at node ~ defect multiplier scaled by
+        the quadrature weight x segment width."""
+        lam = self.optimizer.LastEqLmults
+        if lam is None:
+            raise RuntimeError("no multipliers: solve first")
+        cs = self._cs
+        ndef = (cs - 1) * self.XV if self.TranscriptionMode != "Trapezoidal" \
+            else self.XV
+        lam_def = lam[:self.numSegs * ndef].reshape(
+            self.numSegs, cs - 1, self.XV)
+        sch = self._scheme
+        T = self.tf - self.t0
+        costates = np.zeros((self.numNodes, self.XV))
+        counts = np.zeros(self.numNodes)
+        for k in range(self.numSegs):
+            h = (self.seg_bounds[k + 1] - self.seg_bounds[k]) * T
+            for i in range(cs - 1):
+                w = sch.int_def[i] * h
+                # attribute to nearest cardinal node of the interior point
+                node = self.seg_nodes[k][i if i < cs - 1 else -1]
+                costates[node] += lam_def[k, i] / max(w, 1e-300)
+                counts[node] += 1
+        counts[counts == 0] = 1
+        costates /= counts[:, None]
+        ts = self.t0 + self.taus * T
+        return [np.concatenate([costates[i], [ts[i]]])
+                for i in range(self.numNodes)]

@@ -7,3 +7,4 @@ Jet batch runner).
 from .nlp import NonLinearProgram, IndexedFunction
 from .psiopt import PSIOPT, ConvergenceFlags
 from .optprob import OptimizationProblem
+from .jet import Jet
