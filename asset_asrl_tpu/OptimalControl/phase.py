@@ -312,18 +312,34 @@ class Phase:
                 [(self.taus[i], self.taus[i + 1]) for i in range(N - 1)]
         raise ValueError(f"unsupported phase region: {region}")
 
-    def _gather_nodes(self, nodes_per_app):
-        """Vidx rows: [node vars ... , t0, tf, odeparams, staticparams]."""
+    def _gather_nodes(self, nodes_per_app, segs=None):
+        """Vidx rows: [node vars ... , t0, tf, odeparams, staticparams].
+
+        With ControlMode BlockConstant, control slots are rewired to the
+        owning segment's block slot (reference Blocked_ODE_Wrapper.h); when a
+        family is built per-segment (`segs` given), ALL its nodes use that
+        segment's block — including the cardinal shared with the next
+        segment."""
         m = self._m
+        block = self.ControlMode == ControlModes.BlockConstant
+        cs = getattr(self, "_cs", 2)
         rows = []
         tail = [self._t0i, self._tfi] + \
             [self._opi(k) for k in range(self.PV)] + \
             [self._spi(k) for k in range(self.SPV)]
-        for nodes in nodes_per_app:
+        for a, nodes in enumerate(nodes_per_app):
             row = []
             for nd in nodes:
                 row.extend([self._xvar(nd, i) for i in range(self.XV)])
-                row.extend([self._uvar(nd, j) for j in range(self.UV)])
+                if block:
+                    seg = segs[a] if segs is not None else \
+                        min(nd // (cs - 1), self.numSegs - 1)
+                    un = seg * (cs - 1)
+                    row.extend([un * m + self.XV + j
+                                for j in range(self.UV)])
+                else:
+                    row.extend([nd * m + self.XV + j
+                                for j in range(self.UV)])
             row.extend(tail)
             rows.append(row)
         return np.asarray(rows, dtype=np.int32)
@@ -680,9 +696,8 @@ class Phase:
             return d.reshape(-1)
 
         apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
-        Vidx = self._gather_nodes(apps)
+        Vidx = self._gather_nodes(apps, segs=list(range(self.numSegs)))
         consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]], axis=1)
-        nout = (cs - 1) * XV if not trap else XV
         return IndexedFunction(fun, Vidx, consts, name="defects")
 
     def _control_families(self):
@@ -795,7 +810,7 @@ class Phase:
             return integ[None]
 
         apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
-        Vidx = self._gather_nodes(apps)
+        Vidx = self._gather_nodes(apps, segs=list(range(self.numSegs)))
         if spsel is not None:
             consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:],
                                np.full(self.numSegs, 1.0 / self.numSegs)],
@@ -831,6 +846,14 @@ class Phase:
                                         spec.name))
         return eqs, iqs, objs
 
+    def node_of_var(self):
+        """Node id per phase variable (-1 = border: t0, tf, params) — the
+        structure map consumed by the block-tridiagonal KKT backend."""
+        nov = np.full(self.numVars, -1, np.int64)
+        m = self._m
+        nov[:self.numNodes * m] = np.arange(self.numNodes * m) // m
+        return nov
+
     def transcribe(self, *_):
         nlp = NonLinearProgram(self.numVars)
         eqs, iqs, objs = self._build_families()
@@ -842,7 +865,18 @@ class Phase:
             nlp.addObjective(f)
         nlp.freeze()
         self._nlp = nlp
-        self.optimizer.setNLP(nlp)
+        kkt = None
+        if getattr(self, "KKTBackend", "block") == "block":
+            try:
+                from ..Solvers.kkt_block import BlockKKT
+                kkt = BlockKKT(nlp, self.node_of_var())
+            except ValueError as e:
+                # non-banded coupling (e.g. nonlinear front-to-back
+                # constraints): fall back to the dense backend
+                if self.optimizer.PrintLevel <= 1:
+                    print(f"  [kkt] falling back to dense backend: {e}")
+                kkt = None
+        self.optimizer.setNLP(nlp, kkt)
         self._need_transcribe = False
 
     # --------------------------------------------------------- solve entries

@@ -1,0 +1,663 @@
+"""Block-tridiagonal KKT backend: the TPU-native Pardiso replacement.
+
+Reference: MKL Pardiso sparse LDL^T (`src/Solvers/PardisoInterface.h`) +
+METIS ordering.  Instead of general sparse factorization, this backend
+commits to the structure LGL transcription produces (SURVEY.md section 5.7):
+with the phase layout [(x_i,u_i) per node | t0,tf,params], every defect /
+path-constraint row couples a bounded window of consecutive nodes, so the
+reduced KKT (inequalities condensed by slack/dual elimination) is
+
+    K = [ T   B ]      T: symmetric block-tridiagonal over macro-blocks
+        [ B^T C ]      B: coupling to a small dense border
+                       C: border block (t0/tf/params + boundary rows)
+
+Macro-blocks group q consecutive node-blocks plus the equality-multiplier
+rows assigned to them, with q chosen so every constraint's node span fits two
+adjacent macros.
+
+Factorization = block cyclic reduction (BCR): log2(K) levels, each level a
+vmapped batch of dense eliminations of the odd macro-blocks — matmuls on the
+MXU instead of Pardiso's sequential supernodal sweep.  Inertia comes from
+batched eigendecompositions of the eliminated diagonal blocks (Sylvester's
+law of inertia over the congruence), which drives PSIOPT's perturbation
+ladder exactly like Pardiso's neigs count (`PSIOPT.cpp:422`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from ..config import DEFAULT_DTYPE
+
+
+# ===========================================================================
+# Structure analysis
+# ===========================================================================
+
+class BlockStructure:
+    """Maps global unknowns (primal vars + eq multipliers) to
+    (macro k, offset) or the border; precomputes scatter indices for
+    assembling K directly in block form.
+
+    Parameters
+    ----------
+    node_of_var : (n,) int array; node id per primal var, -1 = border var.
+    eq_fams : list of (Vidx, rows, nout) per equality family (numpy).
+    iq_fams : list of (Vidx, rows, nout) per inequality family.
+    obj_fams : list of Vidx per objective family.
+    """
+
+    def __init__(self, numPrimal, numEq, numIq, node_of_var,
+                 eq_fams, iq_fams, obj_fams):
+        """eq_fams/iq_fams: [(Vidx, rows, colmask)], obj_fams:
+        [(Vidx, colmask)] — colmask (nin,) bool marks inputs the function
+        actually depends on (probed sparsity, the TPU analog of the
+        reference's INPUT_DOMAIN tracking in `FunctionDomains.h`)."""
+        node_of_var = np.asarray(node_of_var, np.int64)
+        self.n, self.mE, self.mI = numPrimal, numEq, numIq
+        nnodes = int(node_of_var.max()) + 1
+
+        # -------- span analysis: max node window of any application --------
+        def app_spans(Vidx, colmask):
+            nds = node_of_var[Vidx]              # (napps, nin)
+            valid = (nds >= 0) & colmask[None, :]
+            lo = np.where(valid, nds, np.iinfo(np.int64).max).min(axis=1)
+            hi = np.where(valid, nds, -1).max(axis=1)
+            return lo, hi
+
+        max_span = 1
+        for Vidx, rows, colmask in eq_fams + iq_fams:
+            lo, hi = app_spans(Vidx, colmask)
+            if len(lo):
+                sp = int(np.max(np.where(hi >= 0, hi - lo + 1, 1)))
+                max_span = max(max_span, sp)
+        for Vidx, colmask in obj_fams:
+            lo, hi = app_spans(Vidx, colmask)
+            if len(lo):
+                sp = int(np.max(np.where(hi >= 0, hi - lo + 1, 1)))
+                max_span = max(max_span, sp)
+
+        self.q = max(1, max_span - 1)            # nodes per macro
+        self.K = max(1, -(-nnodes // self.q))    # number of macros
+        macro_of_node = np.minimum(np.arange(nnodes) // self.q, self.K - 1)
+
+        # -------- unknown -> (macro, slot) assignment ----------------------
+        # vars first, then eq rows, macro by macro
+        var_macro = np.where(node_of_var >= 0,
+                             macro_of_node[np.maximum(node_of_var, 0)], -1)
+
+        # eq row macro: middle node of the app's span (border if no nodes)
+        row_macro = np.full(numEq, -1, np.int64)
+        for Vidx, rows, colmask in eq_fams:
+            lo, hi = app_spans(Vidx, colmask)
+            for a in range(Vidx.shape[0]):
+                if hi[a] < 0:
+                    continue  # border row (params only)
+                mlo = macro_of_node[lo[a]]
+                mhi = macro_of_node[hi[a]]
+                if mhi - mlo > 1:
+                    continue  # spans too far (front+back rows): border
+                row_macro[rows[a]] = mlo if (hi[a] - lo[a] == 0) else \
+                    macro_of_node[(lo[a] + hi[a]) // 2]
+
+        # slots
+        self.var_slot = np.zeros(numPrimal, np.int64)
+        self.row_slot = np.zeros(numEq, np.int64)
+        counts = np.zeros(self.K, np.int64)
+        border_count = 0
+        order_vars = np.argsort(var_macro, kind="stable")
+        # assign var slots macro-major preserving var order
+        for k in range(self.K):
+            idx = np.where(var_macro == k)[0]
+            self.var_slot[idx] = counts[k] + np.arange(len(idx))
+            counts[k] += len(idx)
+        bidx = np.where(var_macro < 0)[0]
+        self.border_var_slot = {int(v): border_count + i
+                                for i, v in enumerate(bidx)}
+        border_count += len(bidx)
+        self.nborder_vars = len(bidx)
+        for k in range(self.K):
+            idx = np.where(row_macro == k)[0]
+            self.row_slot[idx] = counts[k] + np.arange(len(idx))
+            counts[k] += len(idx)
+        bre = np.where(row_macro < 0)[0]
+        self.border_row_slot = {int(r): border_count + i
+                                for i, r in enumerate(bre)}
+        border_count += len(bre)
+        self.b = border_count
+        self.W = int(counts.max()) if self.K else 0
+        self.counts = counts
+        self.var_macro = var_macro
+        self.row_macro = row_macro
+        self.macro_of_node = macro_of_node
+
+        # global unknown id -> (macro, slot) arrays for vars and rows
+        self._uvar_macro = var_macro
+        self._uvar_slot = np.where(
+            var_macro >= 0, self.var_slot,
+            np.array([self.border_var_slot.get(int(v), 0)
+                      for v in range(numPrimal)]))
+        self._urow_macro = row_macro
+        self._urow_slot = np.where(
+            row_macro >= 0, self.row_slot,
+            np.array([self.border_row_slot.get(int(r), 0)
+                      for r in range(numEq)]))
+
+        # number of negative eigenvalues expected: mE (+mI condensed)
+        self.target_neigs = numEq
+
+    # ------------------------------------------------------------- targets
+    def jac_targets(self, Vidx, rows, nz=None):
+        """Scatter targets for a constraint-Jacobian batch.
+
+        Input J values are ordered (app, r, c) flattened.  Each value lands
+        symmetrically in K; returns dict arr_name -> (src_flat, tgt_flat)
+        covering both triangles (diag/C get two placements per value, the
+        lower/B arrays hold one canonical triangle).  nz: (nout, nin) bool
+        sparsity mask — structurally-zero entries are pruned.
+        """
+        napps, nout = rows.shape
+        nin = Vidx.shape[1]
+        W, b = self.W, self.b
+        src = np.arange(napps * nout * nin).reshape(napps, nout, nin)
+        if nz is not None:
+            src = np.where(nz[None, :, :], src, -1)
+        rmac = self._urow_macro[rows][:, :, None] + np.zeros((1, 1, nin),
+                                                            np.int64)
+        rslot = self._urow_slot[rows][:, :, None] + np.zeros((1, 1, nin),
+                                                             np.int64)
+        cmac = self._uvar_macro[Vidx][:, None, :] + np.zeros((1, nout, 1),
+                                                             np.int64)
+        cslot = self._uvar_slot[Vidx][:, None, :] + np.zeros((1, nout, 1),
+                                                              np.int64)
+        return self._classify(src, rmac, rslot, cmac, cslot, sym_from_one=True)
+
+    def hess_targets(self, Vidx, nz=None):
+        """Scatter targets for a symmetric-Hessian batch ordered
+        (app, a, b): each value lands once at its natural position; upper
+        inter-macro entries are skipped (covered by their transposed
+        partner).  nz: (nin, nin) bool sparsity mask."""
+        napps, nin = Vidx.shape
+        src = np.arange(napps * nin * nin).reshape(napps, nin, nin)
+        if nz is not None:
+            src = np.where(nz[None, :, :], src, -1)
+        amac = self._uvar_macro[Vidx][:, :, None] + np.zeros((1, 1, nin),
+                                                             np.int64)
+        aslot = self._uvar_slot[Vidx][:, :, None] + np.zeros((1, 1, nin),
+                                                              np.int64)
+        bmac = self._uvar_macro[Vidx][:, None, :] + np.zeros((1, nin, 1),
+                                                             np.int64)
+        bslot = self._uvar_slot[Vidx][:, None, :] + np.zeros((1, nin, 1),
+                                                              np.int64)
+        return self._classify(src, amac, aslot, bmac, bslot,
+                              sym_from_one=False)
+
+    def _classify(self, src, rmac, rslot, cmac, cslot, sym_from_one):
+        W, b, K = self.W, self.b, self.K
+        src = src.ravel()
+        rmac, rslot = rmac.ravel(), rslot.ravel()
+        cmac, cslot = cmac.ravel(), cslot.ravel()
+        keep = src >= 0
+        src, rmac, rslot = src[keep], rmac[keep], rslot[keep]
+        cmac, cslot = cmac[keep], cslot[keep]
+        rb = rmac < 0
+        cb = cmac < 0
+        out = {}
+
+        both = (~rb) & (~cb)
+        same = both & (rmac == cmac)
+        low = both & (rmac == cmac + 1)
+        upp = both & (cmac == rmac + 1)
+        bad = both & (np.abs(rmac - cmac) > 1)
+        if np.any(bad):
+            raise ValueError(
+                "KKT structure violation: entry couples non-adjacent "
+                "macro-blocks; increase macro size q")
+
+        def flatD(k, i, j):
+            return k * W * W + i * W + j
+
+        if sym_from_one:
+            # J value -> both (r,c) and (c,r)
+            s = np.concatenate([src[same], src[same]])
+            t = np.concatenate([flatD(rmac[same], rslot[same], cslot[same]),
+                                flatD(rmac[same], cslot[same], rslot[same])])
+            out["diag"] = (s, t)
+            s = np.concatenate([src[low], src[upp]])
+            t = np.concatenate([
+                flatD(cmac[low], rslot[low], cslot[low]),
+                flatD(rmac[upp], cslot[upp], rslot[upp])])
+            out["lower"] = (s, t)
+            # banded x border
+            rbb = (~rb) & cb
+            brb = rb & (~cb)
+            s = np.concatenate([src[rbb], src[brb]])
+            t = np.concatenate([
+                rmac[rbb] * W * b + rslot[rbb] * b + cslot[rbb],
+                cmac[brb] * W * b + cslot[brb] * b + rslot[brb]])
+            out["B"] = (s, t)
+            bb = rb & cb
+            s = np.concatenate([src[bb], src[bb]])
+            t = np.concatenate([rslot[bb] * b + cslot[bb],
+                                cslot[bb] * b + rslot[bb]])
+            out["C"] = (s, t)
+        else:
+            out["diag"] = (src[same],
+                           flatD(rmac[same], rslot[same], cslot[same]))
+            out["lower"] = (src[low],
+                            flatD(cmac[low], rslot[low], cslot[low]))
+            rbb = (~rb) & cb
+            out["B"] = (src[rbb],
+                        rmac[rbb] * W * b + rslot[rbb] * b + cslot[rbb])
+            bb = rb & cb
+            out["C"] = (src[bb], rslot[bb] * b + cslot[bb])
+        return {k: (np.asarray(s, np.int32), np.asarray(t, np.int32))
+                for k, (s, t) in out.items()}
+
+    def rhs_perm(self):
+        """Flat positions of (vars ++ eq rows) in the block rhs layout:
+        banded unknown -> k*W + slot, border unknown -> K*W + border_slot."""
+        n, mE = self.n, self.mE
+        pos = np.empty(n + mE, np.int64)
+        vm, vs = self._uvar_macro, self._uvar_slot
+        pos[:n] = np.where(vm >= 0, vm * self.W + vs, self.K * self.W + vs)
+        rm, rs = self._urow_macro, self._urow_slot
+        pos[n:] = np.where(rm >= 0, rm * self.W + rs, self.K * self.W + rs)
+        return pos
+
+
+# ===========================================================================
+# BCR factorization of [T, B; B^T, C]
+# ===========================================================================
+
+def _inv_sym(D):
+    """Batched symmetric pseudo-inverse via eigendecomposition; also returns
+    the negative-eigenvalue count (inertia contribution)."""
+    w, V = jnp.linalg.eigh(D)
+    neg = jnp.sum(w < 0)
+    winv = jnp.where(jnp.abs(w) > 1e-300, 1.0 / w, 0.0)
+    Dinv = jnp.einsum("kij,kj,klj->kil", V, winv, V)
+    return Dinv, neg
+
+
+def bcr_factor(diag, lower, Bmat, C, nlevels=None):
+    """Compacted block cyclic reduction of [T, B; B^T, C].
+
+    diag (K,W,W) symmetric; lower (K,W,W) with lower[k] = K[k+1,k]
+    (entry K-1 unused); Bmat (K,W,b); C (b,b).
+
+    Each level halves the chain: odd blocks are eliminated in one batched
+    (vmapped) sweep of dense inverses + matmuls, so the whole factorization
+    is ~2K small dense eigendecompositions and O(K) matmuls over log2(K)
+    sequential levels — the TPU substitute for Pardiso's sequential
+    supernodal LDL^T.  Returns (fac, neigs); neigs is the exact count of
+    negative eigenvalues of the full matrix (Sylvester congruence).
+    """
+    K, W, _ = diag.shape
+    b = C.shape[0]
+    neigs = jnp.zeros((), jnp.int32)
+    levels = []
+    d, l, B = diag, lower, Bmat
+    while d.shape[0] > 1:
+        Ka = d.shape[0]
+        Ke = Ka // 2
+        Kn = Ka - Ke
+        # pad so strided slices line up
+        dpad = jnp.concatenate(
+            [d, jnp.zeros((1, W, W), d.dtype)], axis=0)
+        lpad = jnp.concatenate(
+            [l, jnp.zeros((2, W, W), l.dtype)], axis=0)
+        Bpad = jnp.concatenate(
+            [B, jnp.zeros((1, W, b), B.dtype)], axis=0)
+        d_even = dpad[0::2][:Kn]
+        d_odd = dpad[1::2][:Ke]
+        L_le = lpad[0::2][:Ke]          # K[2i+1, 2i]
+        L_er = lpad[1::2][:Ke]          # K[2i+2, 2i+1]
+        B_even = Bpad[0::2][:Kn]
+        B_odd = Bpad[1::2][:Ke]
+
+        Dinv, neg = _inv_sym(d_odd)
+        neigs = neigs + neg
+        levels.append(dict(Dinv=Dinv, L_le=L_le, L_er=L_er, B_odd=B_odd))
+
+        pad1 = jnp.zeros((1, W, W), d.dtype)
+        upd_r = jnp.einsum("kij,kil,klm->kjm", L_le, Dinv, L_le)
+        upd_l = jnp.einsum("kij,kjl,kml->kim", L_er, Dinv, L_er)
+        d_new = jnp.concatenate([d_even, pad1], axis=0)
+        d_new = d_new.at[:Ke].add(-upd_r)
+        d_new = d_new.at[1:Ke + 1].add(-upd_l)
+        d_new = d_new[:Kn]
+
+        padB = jnp.zeros((1, W, b), B.dtype)
+        updB_r = jnp.einsum("kij,kil,klm->kjm", L_le, Dinv, B_odd)
+        updB_l = jnp.einsum("kij,kjl,klm->kim", L_er, Dinv, B_odd)
+        B_new = jnp.concatenate([B_even, padB], axis=0)
+        B_new = B_new.at[:Ke].add(-updB_r)
+        B_new = B_new.at[1:Ke + 1].add(-updB_l)
+        B_new = B_new[:Kn]
+
+        C = C - jnp.einsum("kiv,kij,kjw->vw", B_odd, Dinv, B_odd)
+
+        l_new = -jnp.einsum("kij,kjl,klm->kim", L_er, Dinv, L_le)
+        if Kn > 1:
+            l_new = l_new[:Kn - 1] if l_new.shape[0] >= Kn - 1 else \
+                jnp.concatenate(
+                    [l_new, jnp.zeros((Kn - 1 - l_new.shape[0], W, W),
+                                      l.dtype)], axis=0)
+        else:
+            l_new = jnp.zeros((1, W, W), l.dtype)
+        d, l, B = d_new, l_new, B_new
+
+    # final single block + border Schur complement
+    Dinv0, neg0 = _inv_sym(d)
+    neigs = neigs + neg0
+    D0inv = Dinv0[0]
+    C_schur = C - B[0].T @ D0inv @ B[0]
+    if b > 0:
+        wc, Vc = jnp.linalg.eigh(C_schur)
+        neigs = neigs + jnp.sum(wc < 0)
+    else:
+        wc = jnp.zeros((0,), diag.dtype)
+        Vc = jnp.zeros((0, 0), diag.dtype)
+    return dict(levels=levels, D0inv=D0inv, B0=B[0], Cw=wc, CV=Vc), neigs
+
+
+def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
+    """Solve [T,B;B^T,C][y;z]=[r;rb] using bcr_factor output."""
+    W = rhs_blocks.shape[1]
+    r = rhs_blocks
+    rb = rhs_border
+    stack = []
+    for lev in fac["levels"]:
+        Ka = r.shape[0]
+        Ke = lev["Dinv"].shape[0]
+        Kn = Ka - Ke
+        rpad = jnp.concatenate([r, jnp.zeros((1, W), r.dtype)], axis=0)
+        r_even = rpad[0::2][:Kn]
+        r_odd = rpad[1::2][:Ke]
+        stack.append(r_odd)
+        Dinv, L_le, L_er = lev["Dinv"], lev["L_le"], lev["L_er"]
+        t = jnp.einsum("kij,kj->ki", Dinv, r_odd)
+        r_new = jnp.concatenate([r_even, jnp.zeros((1, W), r.dtype)], axis=0)
+        r_new = r_new.at[:Ke].add(-jnp.einsum("kij,ki->kj", L_le, t))
+        r_new = r_new.at[1:Ke + 1].add(-jnp.einsum("kij,kj->ki", L_er, t))
+        r = r_new[:Kn]
+        rb = rb - jnp.einsum("kiv,ki->v", lev["B_odd"], t)
+
+    # border + root solve
+    rb = rb - fac["B0"].T @ (fac["D0inv"] @ r[0])
+    wc, Vc = fac["Cw"], fac["CV"]
+    if wc.shape[0] > 0:
+        wcinv = jnp.where(jnp.abs(wc) > 1e-300, 1.0 / wc, 0.0)
+        z = (Vc * wcinv) @ (Vc.T @ rb)
+    else:
+        z = rb
+    y = (fac["D0inv"] @ (r[0] - fac["B0"] @ z))[None, :]
+
+    for lev, r_odd in zip(reversed(fac["levels"]), reversed(stack)):
+        Ke = lev["Dinv"].shape[0]
+        Kn = y.shape[0]
+        Ka = Kn + Ke
+        Dinv, L_le, L_er = lev["Dinv"], lev["L_le"], lev["L_er"]
+        y_even = y  # (Kn, W)
+        ypad = jnp.concatenate([y_even, jnp.zeros((1, W), y.dtype)], axis=0)
+        contrib = r_odd \
+            - jnp.einsum("kij,kj->ki", L_le, y_even[:Ke]) \
+            - jnp.einsum("kij,ki->kj", L_er, ypad[1:Ke + 1]) \
+            - jnp.einsum("kiv,v->ki", lev["B_odd"], z)
+        y_odd = jnp.einsum("kij,kj->ki", Dinv, contrib)
+        y_full = jnp.zeros((Ka, W), y.dtype)
+        y_full = y_full.at[0::2].set(y_even[:Kn])
+        y_full = y_full.at[1::2].set(y_odd[:Ke])
+        y = y_full
+
+    return y, z
+
+
+class BlockKKT:
+    """KKT provider over the block-tridiagonal+border structure.
+
+    Unified backend API used by PSIOPT (same surface as
+    `kkt_dense.DenseKKT`):
+      eval_resid(x, lamE, lamI, sigma) -> (obj, gradf, cE, cI, rd)
+      factor(x, lamE, lamI, sigma, sig_tilde, delta, gammaE, gammaI)
+          -> (fac, neigs)
+      solve(fac, rhs_x, rhs_E) -> (dx, dlamE)
+      iq_matvec(fac, dx) -> J_I dx ;  iq_rmatvec(fac, v) -> J_I^T v
+    """
+
+    def __init__(self, nlp, node_of_var, probe_seed=7):
+        nlp.freeze()
+        self.nlp = nlp
+        from .nlp import _family_full, _family_valjac
+
+        # ---- probe structural sparsity of every family (TPU analog of the
+        # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| at random
+        # inputs, OR over apps/probes -> nonzero masks ----
+        rng = np.random.default_rng(probe_seed)
+
+        def probe(f):
+            full = _family_full(f.fun)
+            jac_nz = np.zeros((f.nout, f.nin), bool)
+            hess_nz = np.zeros((f.nin, f.nin), bool)
+            for _ in range(2):
+                xg = jnp.asarray(rng.normal(size=(f.napps, f.nin)) * 0.7
+                                 + 0.3)
+                lam = jnp.asarray(rng.normal(size=(f.napps, f.nout)) + 2.0)
+                fx, jx, hx = full(xg, jnp.asarray(f.consts), lam)
+                jac_nz |= np.asarray(
+                    jnp.max(jnp.abs(jx), axis=0) > 1e-250)
+                hess_nz |= np.asarray(
+                    jnp.max(jnp.abs(hx), axis=0) > 1e-250)
+            hess_nz |= hess_nz.T
+            return jac_nz, hess_nz
+
+        eq_nz = [probe(f) for f in nlp.eqcons]
+        iq_nz = [probe(f) for f in nlp.iqcons]
+        obj_nz = [probe(f) for f in nlp.objectives]
+
+        def colmask(jac_nz, hess_nz):
+            return jac_nz.any(axis=0) | hess_nz.any(axis=0)
+
+        eq_fams = [(f.Vidx, rows, colmask(*nz))
+                   for f, rows, nz in zip(nlp.eqcons, nlp._eq_rows, eq_nz)]
+        iq_fams = [(f.Vidx, rows, colmask(*nz))
+                   for f, rows, nz in zip(nlp.iqcons, nlp._iq_rows, iq_nz)]
+        obj_fams = [(f.Vidx, colmask(*nz))
+                    for f, nz in zip(nlp.objectives, obj_nz)]
+        self.bs = BlockStructure(nlp.numPrimal, nlp.numEq, nlp.numIq,
+                                 node_of_var, eq_fams, iq_fams, obj_fams)
+        bs = self.bs
+        self.nlevels = max(1, int(np.ceil(np.log2(max(bs.K, 2)))))
+        self._perm = jnp.asarray(bs.rhs_perm())
+
+        self._eq = []
+        for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows, eq_nz):
+            self._eq.append(dict(
+                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
+                consts=jnp.asarray(f.consts),
+                jt=bs.jac_targets(f.Vidx, rows, jnz),
+                ht=bs.hess_targets(f.Vidx, hnz)))
+        self._iq = []
+        for f, rows, (jnz, hnz) in zip(nlp.iqcons, nlp._iq_rows, iq_nz):
+            # condensation term J^T Sig~ J fills the union of jac-column
+            # outer products — include it in the hessian mask
+            hfull = hnz.copy()
+            for r in range(f.nout):
+                hfull |= np.outer(jnz[r], jnz[r])
+            self._iq.append(dict(
+                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
+                consts=jnp.asarray(f.consts),
+                ht=bs.hess_targets(f.Vidx, hfull)))
+        self._obj = []
+        for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
+            self._obj.append(dict(
+                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                Vidx=jnp.asarray(f.Vidx), consts=jnp.asarray(f.consts),
+                napps=f.napps,
+                ht=bs.hess_targets(f.Vidx, hnz)))
+
+        # regularization diagonal masks
+        K, W, b = bs.K, bs.W, bs.b
+        ddiag = np.zeros(K * W * W)
+        sign = np.zeros(K * W * W)   # +1 -> +delta, -1 -> -gammaE
+        for k in range(bs.K):
+            for s in range(W):
+                sign[k * W * W + s * W + s] = 1.0
+        for r in range(bs.mE):
+            mk, sl = bs._urow_macro[r], bs._urow_slot[r]
+            if mk >= 0:
+                sign[mk * W * W + sl * W + sl] = -1.0
+        self._diag_sign = jnp.asarray(sign)
+        csign = np.zeros(b * b)
+        for i in range(b):
+            csign[i * b + i] = 1.0
+        for r, sl in bs.border_row_slot.items():
+            csign[sl * b + sl] = -1.0
+        self._c_sign = jnp.asarray(csign)
+
+        self._jit_factor = jax.jit(self._factor_impl)
+        self._jit_solve = jax.jit(self._solve_impl)
+        self._jit_resid = jax.jit(self._resid_impl)
+        self._jit_iqmv = jax.jit(self._iq_matvec_impl)
+        self._jit_iqrmv = jax.jit(self._iq_rmatvec_impl)
+
+    # ----------------------------------------------------------- residuals
+    def _resid_impl(self, x, lamE, lamI, sigma):
+        nlp = self.nlp
+        obj = jnp.zeros((), DEFAULT_DTYPE)
+        gradf = jnp.zeros((nlp.numPrimal,), DEFAULT_DTYPE)
+        rd = jnp.zeros((nlp.numPrimal,), DEFAULT_DTYPE)
+        for fam in self._obj:
+            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+            obj = obj + jnp.sum(fx)
+            gradf = gradf.at[fam["Vidx"].ravel()].add(
+                sigma * jx.reshape(fam["Vidx"].shape[0], -1).ravel())
+        cE = jnp.zeros((nlp.numEq,), DEFAULT_DTYPE)
+        for fam in self._eq:
+            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+            cE = cE.at[fam["rows"].ravel()].add(fx.ravel())
+            lam = lamE[fam["rows"]]
+            g = jnp.einsum("krc,kr->kc", jx, lam)
+            rd = rd.at[fam["Vidx"].ravel()].add(g.ravel())
+        cI = jnp.zeros((nlp.numIq,), DEFAULT_DTYPE)
+        for fam in self._iq:
+            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+            cI = cI.at[fam["rows"].ravel()].add(fx.ravel())
+            lam = lamI[fam["rows"]]
+            g = jnp.einsum("krc,kr->kc", jx, lam)
+            rd = rd.at[fam["Vidx"].ravel()].add(g.ravel())
+        rd = rd + gradf
+        return obj, gradf, cE, cI, rd
+
+    def eval_resid(self, x, lamE, lamI, sigma):
+        return self._jit_resid(x, lamE, lamI, jnp.asarray(sigma))
+
+    # -------------------------------------------------------------- factor
+    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
+        bs = self.bs
+        K, W, b = bs.K, bs.W, bs.b
+        diag = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
+        lower = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
+        Bm = jnp.zeros((K * W * b,), DEFAULT_DTYPE)
+        C = jnp.zeros((b * b,), DEFAULT_DTYPE)
+
+        def scat(arrs, targets, vals):
+            vals = vals.ravel()
+            out = []
+            for name, arr in arrs:
+                if name in targets and len(targets[name][0]):
+                    s, t = targets[name]
+                    arr = arr.at[jnp.asarray(t)].add(vals[jnp.asarray(s)])
+                out.append(arr)
+            return out
+
+        iq_jx = []
+        for fam in self._obj:
+            ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
+            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], ones)
+            diag, lower, Bm, C = scat(
+                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
+                fam["ht"], sigma * hx)
+        for fam in self._eq:
+            lam = lamE[fam["rows"]]
+            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+            diag, lower, Bm, C = scat(
+                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
+                fam["jt"], jx)
+            diag, lower, Bm, C = scat(
+                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
+                fam["ht"], hx)
+        for fam in self._iq:
+            lam = lamI[fam["rows"]]
+            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+            st = sig_tilde[fam["rows"]]
+            hcond = jnp.einsum("kri,kr,krj->kij", jx, st, jx)
+            diag, lower, Bm, C = scat(
+                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
+                fam["ht"], hx + hcond)
+            iq_jx.append(jx)
+
+        diag = diag + jnp.where(self._diag_sign > 0, delta,
+                                jnp.where(self._diag_sign < 0, -gammaE, 0.0)
+                                ) * jnp.abs(self._diag_sign)
+        C = C + jnp.where(self._c_sign > 0, delta,
+                          jnp.where(self._c_sign < 0, -gammaE, 0.0)
+                          ) * jnp.abs(self._c_sign)
+
+        fac, neigs = bcr_factor(diag.reshape(K, W, W),
+                                lower.reshape(K, W, W),
+                                Bm.reshape(K, W, b), C.reshape(b, b),
+                                self.nlevels)
+        fac["iq_jx"] = iq_jx
+        return fac, neigs
+
+    def factor(self, x, lamE, lamI, sigma, sig_tilde, delta,
+               gammaE, gammaI=None):
+        fac, neigs = self._jit_factor(
+            x, lamE, lamI, jnp.asarray(sigma), sig_tilde,
+            jnp.asarray(delta), jnp.asarray(gammaE))
+        return fac, int(neigs)
+
+    # --------------------------------------------------------------- solve
+    def _solve_impl(self, fac, rhs_x, rhs_E):
+        bs = self.bs
+        K, W, b = bs.K, bs.W, bs.b
+        full = jnp.zeros((K * W + b,), DEFAULT_DTYPE)
+        full = full.at[self._perm].set(jnp.concatenate([rhs_x, rhs_E]))
+        y, z = bcr_solve(fac, full[:K * W].reshape(K, W), full[K * W:],
+                         self.nlevels)
+        flat = jnp.concatenate([y.reshape(-1), z])
+        sol = flat[self._perm]
+        return sol[:bs.n], sol[bs.n:]
+
+    def solve(self, fac, rhs_x, rhs_E):
+        return self._jit_solve(fac, rhs_x, rhs_E)
+
+    # -------------------------------------------------------------- matvec
+    def _iq_matvec_impl(self, fac, dx):
+        out = jnp.zeros((self.nlp.numIq,), DEFAULT_DTYPE)
+        for fam, jx in zip(self._iq, fac["iq_jx"]):
+            v = jnp.einsum("krc,kc->kr", jx, dx[fam["Vidx"]])
+            out = out.at[fam["rows"].ravel()].add(v.ravel())
+        return out
+
+    def iq_matvec(self, fac, dx):
+        return self._jit_iqmv(fac, dx)
+
+    def _iq_rmatvec_impl(self, fac, v):
+        out = jnp.zeros((self.nlp.numPrimal,), DEFAULT_DTYPE)
+        for fam, jx in zip(self._iq, fac["iq_jx"]):
+            g = jnp.einsum("krc,kr->kc", jx, v[fam["rows"]])
+            out = out.at[fam["Vidx"].ravel()].add(g.ravel())
+        return out
+
+    def iq_rmatvec(self, fac, v):
+        return self._jit_iqrmv(fac, v)
+
+

@@ -48,48 +48,6 @@ class ConvergenceFlags:
 
 
 # --------------------------------------------------------------------------
-# Dense KKT backend: eigendecomposition factorization (exact inertia).
-# --------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=())
-def _dense_kkt_factor(H, JE, JI, SigInv, delta, gammaE, gammaI):
-    n = H.shape[0]
-    mE = JE.shape[0]
-    mI = JI.shape[0]
-    dim = n + mE + mI
-    K = jnp.zeros((dim, dim), DEFAULT_DTYPE)
-    K = K.at[:n, :n].set(H + delta * jnp.eye(n, dtype=DEFAULT_DTYPE))
-    K = K.at[n:n + mE, :n].set(JE)
-    K = K.at[:n, n:n + mE].set(JE.T)
-    K = K.at[n + mE:, :n].set(JI)
-    K = K.at[:n, n + mE:].set(JI.T)
-    K = K.at[jnp.arange(n, n + mE), jnp.arange(n, n + mE)].set(-gammaE)
-    K = K.at[jnp.arange(n + mE, dim), jnp.arange(n + mE, dim)].set(
-        -(SigInv + gammaI))
-    w, V = jnp.linalg.eigh(K)
-    neigs = jnp.sum(w < 0)
-    return (w, V), neigs
-
-
-@jax.jit
-def _dense_kkt_solve(factor, rhs):
-    w, V = factor
-    return V @ ((V.T @ rhs) / w)
-
-
-class _DenseKKT:
-    """Dense factorization backend (reference path, small problems)."""
-
-    def factor(self, H, JE, JI, SigInv, delta, gammaE, gammaI):
-        fac, neigs = _dense_kkt_factor(H, JE, JI, SigInv,
-                                       delta, gammaE, gammaI)
-        return fac, int(neigs)
-
-    def solve(self, factor, rhs):
-        return _dense_kkt_solve(factor, rhs)
-
-
-# --------------------------------------------------------------------------
 # jitted iteration pieces
 # --------------------------------------------------------------------------
 
@@ -125,6 +83,8 @@ class PSIOPT:
     """Interior-point optimizer over a NonLinearProgram."""
 
     def __init__(self, nlp: NonLinearProgram | None = None, kkt=None):
+        # kkt: a KKT provider (kkt_dense.DenseKKT / kkt_block.BlockKKT);
+        # created lazily from the NLP when not supplied.
         # --- tolerance / algorithm knobs, names follow the reference ---
         self.MaxIters = 500
         self.MaxAccIters = 50
@@ -180,7 +140,7 @@ class PSIOPT:
         self.LastIqLmults = None
 
         self.nlp = nlp
-        self.kkt = kkt if kkt is not None else _DenseKKT()
+        self.kkt = kkt
 
     # ---------------------------------------------------------------- knobs
     def set_OptLSMode(self, m):
@@ -245,8 +205,9 @@ class PSIOPT:
     def set_QPParams(self, *_, **__):
         pass
 
-    def setNLP(self, nlp):
+    def setNLP(self, nlp, kkt=None):
         self.nlp = nlp
+        self.kkt = kkt
 
     # ------------------------------------------------------------- slack init
     def _init_state(self, x, mu):
@@ -286,6 +247,9 @@ class PSIOPT:
     # ---------------------------------------------------------------- driver
     def _run(self, x0, schedule):
         self.nlp.freeze()
+        if self.kkt is None:
+            from .kkt_dense import DenseKKT
+            self.kkt = DenseKKT(self.nlp)
         t0 = time.perf_counter()
         self.LastIterNum = 0
         x, s, lamE, lamI = self._init_state(np.asarray(x0, np.float64),
@@ -320,7 +284,7 @@ class PSIOPT:
 
         for it in range(self.MaxIters):
             tf0 = time.perf_counter()
-            obj, gradf, cE, cIraw, H, JE, JI = nlp.eval_kkt(
+            obj, gradf, cE, cIraw, rd0 = self.kkt.eval_resid(
                 x, lamE, lamI, sigma)
 
             if mI > 0:
@@ -335,13 +299,17 @@ class PSIOPT:
                 Sig = jnp.zeros((0,), DEFAULT_DTYPE)
                 avgcomp = mincomp = maxcomp = 0.0
 
-            rd = gradf + JE.T @ lamE + JI.T @ lamI
+            rd = rd0
             self.LastFuncTime += time.perf_counter() - tf0
 
             # ---------------- factorization with inertia correction ladder
+            # Inequalities are condensed: Sigma~ = Sig/(1+gammaI*Sig) folds
+            # into the primal block, so the target inertia is mE negatives.
             tq0 = time.perf_counter()
             SigInv = jnp.where(Sig > 0, 1.0 / jnp.maximum(Sig, 1e-300), 0.0)
-            target_neigs = mE + mI
+            sig_tilde = Sig / (1.0 + self.gammaI * Sig) if mI > 0 \
+                else jnp.zeros((0,), DEFAULT_DTYPE)
+            target_neigs = mE
 
             # FastFactorAlg: skip the zero-perturbation probe when recent
             # iterations always needed perturbation (reference alg_impl).
@@ -355,7 +323,7 @@ class PSIOPT:
             factor = None
             if zfac:
                 factor, neigs = self.kkt.factor(
-                    H, JE, JI, SigInv, 0.0, self.gammaE, self.gammaI)
+                    x, lamE, lamI, sigma, sig_tilde, 0.0, self.gammaE)
                 if neigs <= target_neigs:
                     nhpert = 0.0
                 else:
@@ -365,7 +333,7 @@ class PSIOPT:
                 incr = self.incrH * (self.incrH if first_pert else 1.0)
                 for k in range(self.MaxRefac):
                     factor, neigs = self.kkt.factor(
-                        H, JE, JI, SigInv, p, self.gammaE, self.gammaI)
+                        x, lamE, lamI, sigma, sig_tilde, p, self.gammaE)
                     nfacs = k + 1
                     nhpert = p
                     if neigs <= target_neigs:
@@ -379,16 +347,15 @@ class PSIOPT:
             # ------------------------------------------- barrier mu update
             if mI > 0:
                 if barmode == "PROBE":
-                    # Mehrotra probe: affine step with pure dual gradient
-                    rhs_aff = jnp.concatenate([
-                        rd, cE, rI - SigInv * lamI])
-                    d_aff = -self.kkt.solve(factor, rhs_aff)
-                    dlamI_aff = d_aff[n + mE:]
-                    ds_aff = -(SigInv * (lamI + dlamI_aff)) \
-                        if False else -SigInv * (lamI + dlamI_aff)
-                    s_aff = s + ds_aff
-                    l_aff = lamI + dlamI_aff
-                    navg = float(jnp.mean(s_aff * l_aff))
+                    # Mehrotra probe: affine step (mu = 0 dual gradient)
+                    w_aff = rI - SigInv * lamI
+                    rx_aff = rd + self.kkt.iq_rmatvec(
+                        factor, sig_tilde * w_aff)
+                    dxa, _ = self.kkt.solve(factor, -rx_aff, -cE)
+                    dlamI_aff = sig_tilde * (
+                        self.kkt.iq_matvec(factor, dxa) + w_aff)
+                    ds_aff = -SigInv * (lamI + dlamI_aff)
+                    navg = float(jnp.mean((s + ds_aff) * (lamI + dlamI_aff)))
                     Mu = (navg / avgcomp) ** 3 * avgcomp if avgcomp != 0 else Mu
                 else:  # LOQO (reference default)
                     eta = mincomp / avgcomp if avgcomp != 0 else 0.0
@@ -404,11 +371,18 @@ class PSIOPT:
                 rs = jnp.zeros((0,), DEFAULT_DTYPE)
 
             # ------------------------------------------------- newton solve
-            rhs = jnp.concatenate([rd, cE, rI - SigInv * rs])
-            d = -self.kkt.solve(factor, rhs)
-            dx, dlamE, dlamI = d[:n], d[n:n + mE], d[n + mE:]
-            ds = -SigInv * (rs + dlamI) if mI > 0 else s
-            good = bool(jnp.isfinite(jnp.sum(d ** 2)))
+            w = rI - SigInv * rs
+            rhs_x = rd + (self.kkt.iq_rmatvec(factor, sig_tilde * w)
+                          if mI > 0 else 0.0)
+            dx, dlamE = self.kkt.solve(factor, -rhs_x, -cE)
+            if mI > 0:
+                dlamI = sig_tilde * (self.kkt.iq_matvec(factor, dx) + w)
+                ds = -SigInv * (rs + dlamI)
+            else:
+                dlamI = lamI
+                ds = s
+            good = bool(jnp.isfinite(jnp.sum(dx ** 2))
+                        and jnp.isfinite(jnp.sum(dlamE ** 2)))
             self.LastKKTTime += time.perf_counter() - tq0
 
             alphap = alphad = 1.0

@@ -1,0 +1,145 @@
+"""Scenario-batch and device-mesh execution (the reference Jet analog).
+
+Reference: `src/Solvers/Jet.h` runs N whole optimization problems on a
+thread pool (one MKL thread each).  TPU-native equivalent: the entire IPM
+iteration of a transcribed phase is one jitted function of the solver state,
+so a *batch* of scenarios is `jax.vmap` of that function, and the batch axis
+is sharded over a `jax.sharding.Mesh` — scenario data-parallelism over
+chips/hosts (SURVEY.md section 2.9 P4/P6), with the per-scenario
+block-tridiagonal KKT factorization running batched on each chip.
+
+`make_iteration_step(phase)` builds the single-scenario jitted step (a
+simplified always-full-step LOQO iteration: slack reset, barrier update,
+condensed block-KKT factor+solve, fraction-to-boundary, no merit retries —
+the NOLS path of the reference solver).  `make_batched_step` vmaps it and
+annotates shardings over the scenario axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT_DTYPE
+
+__all__ = ["make_iteration_step", "make_batched_step", "solve_ensemble"]
+
+
+def make_iteration_step(phase, delta=1.0e-5, gammaE=1.0e-10,
+                        gammaI=1.0e-10, boundfrac=0.99):
+    """One full primal-dual IPM iteration as a pure jittable function.
+
+    state = (x, s, lamE, lamI, mu); returns the updated state plus the
+    (kkt, econ, icon, barr) infeasibility scalars.
+    """
+    if phase._need_transcribe or phase._nlp is None:
+        phase.transcribe()
+    kkt = phase.optimizer.kkt
+    from .Solvers.kkt_block import BlockKKT
+    if not isinstance(kkt, BlockKKT):
+        raise ValueError("iteration step requires the block KKT backend")
+    nlp = phase._nlp
+    mI = nlp.numIq
+
+    def step(state):
+        x, s, lamE, lamI, mu = state
+        obj, gradf, cE, cIraw, rd = kkt._resid_impl(x, lamE, lamI, 1.0)
+
+        # slack reset (PSIOPT.h:549)
+        s = jnp.maximum(s, 1e-12)
+        feas = cIraw < 0.0
+        rI = jnp.where(feas, 0.0, cIraw + s)
+        s = jnp.where(feas, jnp.maximum(jnp.abs(cIraw), 1e-12), s)
+
+        Sig = jnp.where(lamI / s < 0.0, mu / (s * s), lamI / s)
+        SigInv = jnp.where(Sig > 0, 1.0 / jnp.maximum(Sig, 1e-300), 0.0)
+        sig_tilde = Sig / (1.0 + gammaI * Sig)
+
+        comp = s * lamI
+        avgcomp = jnp.mean(comp)
+        mincomp = jnp.min(comp)
+        eta = mincomp / avgcomp
+        sigmat = 0.1 * (0.05 * (1.0 - eta) / jnp.maximum(eta, 1e-300)) ** 3
+        mu_new = jnp.clip(jnp.minimum(0.8, jnp.abs(sigmat)) * avgcomp,
+                          1e-12, 100.0)
+        rs = lamI - mu_new / s
+
+        fac, neigs = kkt._factor_impl(
+            x, lamE, lamI, jnp.asarray(1.0), sig_tilde,
+            jnp.asarray(delta), jnp.asarray(gammaE))
+        w = rI - SigInv * rs
+        rhs_x = rd + kkt._iq_rmatvec_impl(fac, sig_tilde * w)
+        dx, dlamE = kkt._solve_impl(fac, -rhs_x, -cE)
+        dlamI = sig_tilde * (kkt._iq_matvec_impl(fac, dx) + w)
+        ds = -SigInv * (rs + dlamI)
+
+        def maxstep(v, dv):
+            bad = dv < -boundfrac * v
+            cand = jnp.where(bad, -boundfrac * v / jnp.where(bad, dv, -1.0),
+                             1.0)
+            return jnp.minimum(1.0, jnp.min(cand, initial=1.0))
+
+        ap = maxstep(s, ds)
+        ad = maxstep(lamI, dlamI)
+        x = x + ap * dx
+        s = s + ap * ds
+        lamE = lamE + ap * dlamE
+        lamI = lamI + ad * dlamI
+
+        info = jnp.stack([jnp.max(jnp.abs(rd)),
+                          jnp.max(jnp.abs(cE)) if nlp.numEq else 0.0,
+                          jnp.max(jnp.abs(rI)) if mI else 0.0,
+                          jnp.max(comp) if mI else 0.0])
+        return (x, s, lamE, lamI, mu_new), info
+
+    return step
+
+
+def init_state(phase, mu0=1.0e-3, boundpush=1.0e-3):
+    """Solver state from the phase's current trajectory (init_impl analog)."""
+    if phase._need_transcribe or phase._nlp is None:
+        phase.transcribe()
+    nlp = phase._nlp
+    x = jnp.asarray(phase.makeSolverInput())
+    _, cE, cI = nlp.eval_obj_cons(x)
+    cI = np.asarray(cI)
+    s = np.where(cI < -boundpush, np.abs(cI), boundpush)
+    lamI = mu0 / s
+    return (x, jnp.asarray(s), jnp.zeros((nlp.numEq,), DEFAULT_DTYPE),
+            jnp.asarray(lamI), jnp.asarray(mu0))
+
+
+def make_batched_step(phase, mesh=None, axis="scenario"):
+    """Vmapped iteration step over a leading scenario axis, optionally
+    sharded over a device mesh (the Jet analog at pod scale)."""
+    step = make_iteration_step(phase)
+    vstep = jax.vmap(step)
+    if mesh is None:
+        return jax.jit(vstep)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = NamedSharding(mesh, P(axis))
+    state_shard = (shard, shard, shard, shard, shard)
+
+    return jax.jit(vstep, in_shardings=(state_shard,),
+                   out_shardings=(state_shard, shard))
+
+
+def solve_ensemble(phase, perturb_states, iters=30, mesh=None):
+    """Solve a batch of scenarios that share the phase's structure: each
+    scenario perturbs the initial state vector.  Returns final states and
+    per-iteration infeasibility history."""
+    base = init_state(phase)
+    B = len(perturb_states)
+    state = tuple(
+        jnp.broadcast_to(v, (B,) + v.shape).copy() if v.ndim else
+        jnp.broadcast_to(v, (B,)).copy() for v in base)
+    x0 = np.stack([np.asarray(base[0]) + np.asarray(p)
+                   for p in perturb_states])
+    state = (jnp.asarray(x0),) + tuple(state[1:])
+    vstep = make_batched_step(phase, mesh=mesh)
+    hist = []
+    for _ in range(iters):
+        state, info = vstep(state)
+        hist.append(np.asarray(info))
+    return state, np.stack(hist)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: IPM iterations/s at 10k collocation nodes.
+
+Problem: CartPole swing-up (reference `doc/examples/CartPole.rst`) scaled to
+10,001 collocation nodes (5000 LGL5 segments), solved by the fully-jitted
+block-cyclic-reduction IPM iteration.
+
+Baseline: the reference C++/MKL solver does 12 IPM iterations in 28 ms at
+129 nodes (i7-9750H, `doc/examples/CartPole.rst:143`) = 2.33 ms/iter.
+Linearly extrapolated to 10,001 nodes (optimistic for Pardiso, whose
+factorization scales superlinearly and "does not scale beyond 8 threads",
+`doc/tutorials/PSIOPT.rst:269`): 181 ms/iter -> 5.53 iters/s.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_phase(nsegs):
+    import asset_asrl_tpu as ast
+    vf = ast.VectorFunctions
+    oc = ast.OptimalControl
+    Args = vf.Arguments
+
+    class CartPole(oc.ODEBase):
+        def __init__(self, l, m1, m2, g):
+            XtU = oc.ODEArguments(4, 1)
+            x, th, xd, thd = XtU.XVec().tolist()
+            F = XtU.UVar(0)
+            Q = vf.stack([-g * vf.sin(th),
+                          F + m2 * l * vf.sin(th) * thd ** 2])
+            M = vf.RowMatrix(vf.stack(vf.cos(th), l, m1 + m2,
+                                      m2 * l * vf.cos(th)), 2, 2)
+            super().__init__(vf.stack([xd, thd, M.inverse() * Q]), 4, 1)
+
+    m1, m2, l, g = 1, .3, .5, 9.81
+    tf, xf = 2.0, 1.0
+    ts = np.linspace(0, tf, 100)
+    IG = [[xf * t / tf, np.pi * t / tf, 0, 0, t, .0] for t in ts]
+    ode = CartPole(l, m1, m2, g)
+    phase = ode.phase("LGL5", IG, nsegs)
+    phase.addBoundaryValue("First", range(0, 5), [0, 0, 0, 0, 0])
+    phase.addBoundaryValue("Last", range(0, 5), [xf, np.pi, 0, 0, tf])
+    phase.addLUVarBound("Path", 5, -20.0, 20.0)
+    phase.addLUVarBound("Path", 0, -2.0, 2.0)
+    phase.addIntegralObjective(Args(1)[0] ** 2, [5])
+    return phase
+
+
+def main():
+    nsegs = 5000          # 10,001 collocation nodes
+    niters = 20
+    baseline_iters_per_s = 5.53
+
+    from asset_asrl_tpu.parallel import make_iteration_step, init_state
+    import jax
+
+    phase = build_phase(nsegs)
+    step = jax.jit(make_iteration_step(phase))
+    state = init_state(phase)
+
+    # warm-up: compile + 2 iterations
+    state, info = step(state)
+    state, info = step(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(niters):
+        state, info = step(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    iters_per_s = niters / dt
+    print(json.dumps({
+        "metric": "IPM iterations/s at 10k collocation nodes (CartPole LGL5)",
+        "value": round(iters_per_s, 3),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

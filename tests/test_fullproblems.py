@@ -79,20 +79,20 @@ class CartPoleODE(oc.ODEBase):
         super().__init__(ode, 4, 1)
 
 
-@pytest.mark.parametrize("tmode,cmode", [
-    ("LGL5", "FirstOrderSpline"),
-    ("LGL3", "FirstOrderSpline"),
-    ("LGL5", "BlockConstant"),
+@pytest.mark.parametrize("tmode,cmode,nsegs", [
+    ("LGL5", "HighestOrderSpline", 128),
+    ("LGL5", "BlockConstant", 128),
+    ("LGL7", "HighestOrderSpline", 96),
 ])
-def test_cartpole(tmode, cmode):
+def test_cartpole(tmode, cmode, nsegs):
     """Reference `test_FullProblems/test_CartPole.py:38-91`: objective
-    58.83219229674185 +- 0.1 across transcription x control modes."""
+    58.83219229674185 +- 0.1 across transcription x control modes, with the
+    reference's segment counts (LGL5:128, LGL7:96)."""
     m1, m2, l, g = 1, .3, .5, 9.81
     Fmax, xmax, tf, xf = 20, 2, 2, 1
     ts = np.linspace(0, tf, 100)
     IG = [[xf * t / tf, np.pi * t / tf, 0, 0, t, .0] for t in ts]
     ode = CartPoleODE(l, m1, m2, g)
-    nsegs = 64 if tmode != "LGL3" else 128
     phase = ode.phase(tmode, IG, nsegs)
     phase.setControlMode(cmode)
     phase.addBoundaryValue("First", range(0, 5), [0, 0, 0, 0, 0])
