@@ -166,10 +166,16 @@ class Integrator:
             # default: trailing UV columns of the table
             return row[-UV:]
         if isinstance(ctrl, VectorFunction):
+            xt = jnp.concatenate([x, jnp.atleast_1d(t)])
+            if self._uvars is not None:
+                # uvars select the law's inputs from [x, t] (reference
+                # Integrator controller closures, `Integrator.h:51`)
+                sel = jnp.asarray(np.asarray(self._uvars, np.int64))
+                return ctrl.trace(xt[sel])
             if ctrl.IRows() == self.ode.XVars() + 1:
-                return ctrl.trace(jnp.concatenate([x, t[None]]))
+                return ctrl.trace(xt)
             if ctrl.IRows() == 1:
-                return ctrl.trace(t[None])
+                return ctrl.trace(jnp.atleast_1d(t))
             raise ValueError("control law must take [x,t] or [t]")
         raise TypeError("unsupported controller")
 
@@ -335,19 +341,28 @@ class Integrator:
     def _integrate_dense_events(self, row, t0, tf, nsteps, events):
         """Bisection event location on a dense grid (reference EventPack,
         `Integrator.h:538-690`).  events: list of (func, direction, stop)."""
+        if callable(events) or isinstance(events, VectorFunction):
+            events = [events]
         evs = []
         for ev in events:
             if isinstance(ev, (tuple, list)):
                 f, direction, stop = (list(ev) + [0, 0])[:3]
             else:
-                f, direction, stop = ev, 0, 0
+                # a bare event (reference stop-functions like
+                # ``lambda x: x[1] < 0``) is a stopping condition
+                f, direction, stop = ev, 0, 1
             evs.append((f, int(direction), int(stop)))
         n = nsteps or max(int(abs(tf - t0) / self.DefStepSize) + 1, 2)
         traj = self.integrate_dense(row, tf, n)
         one = self._get("one")
 
         def evval(f, r):
-            return float(np.asarray(f.compute(r[:f.IRows()])).ravel()[0])
+            if isinstance(f, VectorFunction):
+                return float(np.asarray(f.compute(r[:f.IRows()])).ravel()[0])
+            out = f(np.asarray(r))
+            if isinstance(out, (bool, np.bool_)):
+                return 1.0 if out else -1.0
+            return float(np.asarray(out).ravel()[0])
 
         out = [traj[0]]
         for i in range(1, len(traj)):

@@ -191,7 +191,27 @@ class OptimalControlProblem:
         nlp.freeze()
         self._nlp = nlp
         self._offsets = offsets
-        self.optimizer.setNLP(nlp)
+        kkt = None
+        if getattr(self, "KKTBackend", "block") == "block":
+            # phases become consecutive spans of one global node chain, so
+            # BackToFront links couple adjacent nodes and the whole
+            # multi-phase KKT stays block-tridiagonal (+ border for link
+            # params and long-range links) — the sharding seam of
+            # SURVEY.md section 2.9 P6.
+            nov = np.full(nvars, -1, np.int64)
+            node_off = 0
+            for p, o in zip(self.Phases, offsets):
+                pn = p.node_of_var()
+                nov[o:o + p.numVars] = np.where(pn >= 0, pn + node_off, -1)
+                node_off += p.numNodes
+            try:
+                from ..Solvers.kkt_block import BlockKKT
+                kkt = BlockKKT(nlp, nov)
+            except ValueError as e:
+                if self.optimizer.PrintLevel <= 1:
+                    print(f"  [kkt] falling back to dense backend: {e}")
+                kkt = None
+        self.optimizer.setNLP(nlp, kkt)
 
     @staticmethod
     def _shift(fam: IndexedFunction, offset):

@@ -288,6 +288,17 @@ class Phase:
     def PrintMeshInfo(self, *a):
         pass
 
+    @property
+    def integrator(self):
+        """Phase-owned integrator (reference `phase.integrator`), used for
+        mesh-error re-integration and available for user stepping."""
+        if getattr(self, "_integrator", None) is None:
+            from ..Integrators import Integrator
+            span = abs(self.tf - self.t0) if self._traj is not None else 1.0
+            self._integrator = Integrator(
+                self.ode, 0.1 * span / max(self.numSegs, 1))
+        return self._integrator
+
     # ------------------------------------------------- region input assembly
     def _region_apps(self, region):
         """Node tuples + taus per application for a node-based region."""

@@ -273,13 +273,38 @@ class BlockStructure:
 # BCR factorization of [T, B; B^T, C]
 # ===========================================================================
 
+def _ldl_pivots(D):
+    """Batched unpivoted LDL^T pivot sequence of symmetric blocks.
+
+    Unrolled right-looking elimination (W static, each step a batched rank-1
+    update); the pivot signs give the block's inertia by Sylvester's law.
+    Unpivoted is numerically safe here because PSIOPT regularizes the KKT to
+    symmetric quasi-definite form (delta/gamma diagonals)."""
+    K, W, _ = D.shape
+    M = D
+    pivs = []
+    for j in range(W):
+        d = M[:, j, j]
+        pivs.append(d)
+        mask = (np.arange(W) > j).astype(D.dtype)
+        l = M[:, :, j] * mask[None, :]
+        dsafe = jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
+        M = M - l[:, :, None] * l[:, None, :] / dsafe[:, None, None]
+    return jnp.stack(pivs, axis=1)   # (K, W)
+
+
 def _inv_sym(D):
-    """Batched symmetric pseudo-inverse via eigendecomposition; also returns
-    the negative-eigenvalue count (inertia contribution)."""
-    w, V = jnp.linalg.eigh(D)
-    neg = jnp.sum(w < 0)
-    winv = jnp.where(jnp.abs(w) > 1e-300, 1.0 / w, 0.0)
-    Dinv = jnp.einsum("kij,kj,klj->kil", V, winv, V)
+    """Batched symmetric inverse (LU) + negative-pivot inertia count.
+
+    Singular or non-finite pivots are counted as inertia failures so the
+    solver's perturbation ladder engages (Pardiso's rank-deficiency path,
+    reference factor_impl `PSIOPT.cpp:422`); with delta/gamma regularization
+    every macro block is quasi-definite and elimination is clean."""
+    pivs = _ldl_pivots(D)
+    bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
+    neg = jnp.sum((pivs < 0) | bad)
+    Dinv = jnp.linalg.inv(D)
+    Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
 
 
@@ -504,16 +529,21 @@ class BlockKKT:
 
         # regularization diagonal masks
         K, W, b = bs.K, bs.W, bs.b
-        ddiag = np.zeros(K * W * W)
         sign = np.zeros(K * W * W)   # +1 -> +delta, -1 -> -gammaE
+        fix = np.zeros(K * W * W)    # identity rows for unused padded slots
         for k in range(bs.K):
             for s in range(W):
                 sign[k * W * W + s * W + s] = 1.0
+            for s in range(int(bs.counts[k]), W):
+                fix[k * W * W + s * W + s] = 1.0
+                sign[k * W * W + s * W + s] = 0.0
+        self._diag_fix = None
         for r in range(bs.mE):
             mk, sl = bs._urow_macro[r], bs._urow_slot[r]
             if mk >= 0:
                 sign[mk * W * W + sl * W + sl] = -1.0
         self._diag_sign = jnp.asarray(sign)
+        self._diag_fix = jnp.asarray(fix)
         csign = np.zeros(b * b)
         for i in range(b):
             csign[i * b + i] = 1.0
@@ -605,7 +635,7 @@ class BlockKKT:
 
         diag = diag + jnp.where(self._diag_sign > 0, delta,
                                 jnp.where(self._diag_sign < 0, -gammaE, 0.0)
-                                ) * jnp.abs(self._diag_sign)
+                                ) * jnp.abs(self._diag_sign) + self._diag_fix
         C = C + jnp.where(self._c_sign > 0, delta,
                           jnp.where(self._c_sign < 0, -gammaE, 0.0)
                           ) * jnp.abs(self._c_sign)

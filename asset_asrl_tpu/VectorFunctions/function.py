@@ -210,6 +210,25 @@ class VectorFunction:
     def tail(self, size):
         return self.segment(self._orr - size, size)
 
+    # fixed-size conveniences (reference Segment2/Segment3 aliases)
+    def head2(self):
+        return self.segment(0, 2)
+
+    def head3(self):
+        return self.segment(0, 3)
+
+    def tail2(self):
+        return self.segment(self._orr - 2, 2)
+
+    def tail3(self):
+        return self.segment(self._orr - 3, 3)
+
+    def segment2(self, start):
+        return self.segment(start, 2)
+
+    def segment3(self, start):
+        return self.segment(start, 3)
+
     def tolist(self, pairs=None):
         """List of scalar element functions; with pairs, list of segments.
 
