@@ -293,8 +293,25 @@ def _ldl_pivots(D):
     return jnp.stack(pivs, axis=1)   # (K, W)
 
 
+def _inv_newton(D):
+    """Batched matrix inverse: f32 LU inverse + two f64 Newton refinement
+    steps (X <- X(2I - DX)).
+
+    XLA:TPU implements LuDecomposition only in f32; refinement recovers full
+    f64 accuracy for the regularized (quasi-definite) KKT blocks — the same
+    mixed-precision strategy the reference exposes as Pardiso QPRefSteps
+    (`PSIOPT.h:146`)."""
+    W = D.shape[-1]
+    X = jnp.linalg.inv(D.astype(jnp.float32)).astype(DEFAULT_DTYPE)
+    X = jnp.where(jnp.isfinite(X), X, 0.0)
+    eye = jnp.eye(W, dtype=DEFAULT_DTYPE)
+    for _ in range(2):
+        X = X @ (2.0 * eye - D @ X)
+    return X
+
+
 def _inv_sym(D):
-    """Batched symmetric inverse (LU) + negative-pivot inertia count.
+    """Batched symmetric inverse + negative-pivot inertia count.
 
     Singular or non-finite pivots are counted as inertia failures so the
     solver's perturbation ladder engages (Pardiso's rank-deficiency path,
@@ -303,7 +320,7 @@ def _inv_sym(D):
     pivs = _ldl_pivots(D)
     bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
     neg = jnp.sum((pivs < 0) | bad)
-    Dinv = jnp.linalg.inv(D)
+    Dinv = _inv_newton(D)
     Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
 
@@ -382,12 +399,13 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None):
     D0inv = Dinv0[0]
     C_schur = C - B[0].T @ D0inv @ B[0]
     if b > 0:
-        wc, Vc = jnp.linalg.eigh(C_schur)
-        neigs = neigs + jnp.sum(wc < 0)
+        pivs = _ldl_pivots(C_schur[None])[0]
+        bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
+        neigs = neigs + jnp.sum((pivs < 0) | bad)
+        Cinv = _inv_newton(C_schur[None])[0]
     else:
-        wc = jnp.zeros((0,), diag.dtype)
-        Vc = jnp.zeros((0, 0), diag.dtype)
-    return dict(levels=levels, D0inv=D0inv, B0=B[0], Cw=wc, CV=Vc), neigs
+        Cinv = jnp.zeros((0, 0), diag.dtype)
+    return dict(levels=levels, D0inv=D0inv, B0=B[0], Cinv=Cinv), neigs
 
 
 def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
@@ -414,10 +432,8 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
 
     # border + root solve
     rb = rb - fac["B0"].T @ (fac["D0inv"] @ r[0])
-    wc, Vc = fac["Cw"], fac["CV"]
-    if wc.shape[0] > 0:
-        wcinv = jnp.where(jnp.abs(wc) > 1e-300, 1.0 / wc, 0.0)
-        z = (Vc * wcinv) @ (Vc.T @ rb)
+    if fac["Cinv"].shape[0] > 0:
+        z = fac["Cinv"] @ rb
     else:
         z = rb
     y = (fac["D0inv"] @ (r[0] - fac["B0"] @ z))[None, :]

@@ -98,8 +98,20 @@ class VectorFunction:
             if key == "compute":
                 f = jax.jit(self.trace)
             elif key == "jacobian":
-                f = jax.jit(jax.jacfwd(self.trace) if self._ir <= self._orr
-                            else jax.jacrev(self.trace))
+                if self._ir <= 2 * self._orr:
+                    f = jax.jit(jax.jacfwd(self.trace))
+                else:
+                    # reverse mode for wide inputs; functions containing
+                    # lax.while_loop (root-finders, propagators) only
+                    # support forward mode — fall back per call
+                    rev = jax.jit(jax.jacrev(self.trace))
+                    fwd = jax.jit(jax.jacfwd(self.trace))
+
+                    def f(x, _rev=rev, _fwd=fwd):
+                        try:
+                            return _rev(x)
+                        except ValueError:
+                            return _fwd(x)
             elif key == "adjointgradient":
                 def agrad(x, l):
                     _, vjp = jax.vjp(self.trace, x)

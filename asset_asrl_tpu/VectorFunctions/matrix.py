@@ -142,7 +142,31 @@ class MatrixFunction(VectorFunction):
         if self.rows != self.cols:
             raise ValueError("inverse requires a square matrix")
         fm = self._fm
-        return MatrixFunction(lambda x: jnp.linalg.inv(fm(x)), self.IRows(),
+        n = self.rows
+        # closed-form small inverses (XLA:TPU LuDecomposition is f32-only,
+        # and 2x2/3x3 cofactor inverses fuse better anyway)
+        if n == 1:
+            inv = lambda M: 1.0 / M
+        elif n == 2:
+            def inv(M):
+                det = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+                return jnp.array([[M[1, 1], -M[0, 1]],
+                                  [-M[1, 0], M[0, 0]]]) / det
+        elif n == 3:
+            def inv(M):
+                c0 = jnp.cross(M[:, 1], M[:, 2])
+                c1 = jnp.cross(M[:, 2], M[:, 0])
+                c2 = jnp.cross(M[:, 0], M[:, 1])
+                det = jnp.dot(M[:, 0], c0)
+                return jnp.stack([c0, c1, c2]) / det
+        else:
+            def inv(M):
+                X = jnp.linalg.inv(M.astype(jnp.float32)).astype(M.dtype)
+                eye = jnp.eye(M.shape[0], dtype=M.dtype)
+                for _ in range(2):
+                    X = X @ (2.0 * eye - M @ X)
+                return X
+        return MatrixFunction(lambda x: inv(fm(x)), self.IRows(),
                               self.rows, self.cols, name="matinv")
 
     def transpose(self):
