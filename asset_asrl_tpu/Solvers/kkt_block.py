@@ -33,6 +33,14 @@ from functools import partial
 from ..config import DEFAULT_DTYPE
 
 
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 # ===========================================================================
 # Structure analysis
 # ===========================================================================
@@ -481,7 +489,9 @@ class BlockKKT:
         rng = np.random.default_rng(probe_seed)
 
         def probe(f):
-            full = _family_full(f.fun)
+            # jit per family: one local-CPU compile instead of op-by-op
+            # eager dispatch (which would round-trip a remote accelerator)
+            full = jax.jit(_family_full(f.fun))
             jac_nz = np.zeros((f.nout, f.nin), bool)
             hess_nz = np.zeros((f.nin, f.nin), bool)
             for _ in range(2):
@@ -496,9 +506,18 @@ class BlockKKT:
             hess_nz |= hess_nz.T
             return jac_nz, hess_nz
 
-        eq_nz = [probe(f) for f in nlp.eqcons]
-        iq_nz = [probe(f) for f in nlp.iqcons]
-        obj_nz = [probe(f) for f in nlp.objectives]
+        # Probing is structure analysis, not solver math: pin it to the host
+        # CPU backend so it never round-trips through a TPU (eager op-by-op
+        # dispatch on a remote accelerator would dominate setup time).
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullctx()
+        with ctx:
+            eq_nz = [probe(f) for f in nlp.eqcons]
+            iq_nz = [probe(f) for f in nlp.iqcons]
+            obj_nz = [probe(f) for f in nlp.objectives]
 
         def colmask(jac_nz, hess_nz):
             return jac_nz.any(axis=0) | hess_nz.any(axis=0)

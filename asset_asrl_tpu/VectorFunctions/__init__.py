@@ -17,3 +17,4 @@ from .pyfunc import PyVectorFunction, PyScalarFunction
 # ASSET alias: vf.Stack == vf.stack, vf.ScalarFunction used as a type tag
 Stack = stack
 ScalarFunction = VectorFunction
+from .interp import InterpTable1D, InterpTable2D, InterpTable3D, InterpTable4D

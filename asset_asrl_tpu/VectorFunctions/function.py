@@ -169,8 +169,19 @@ class VectorFunction:
         return (np.asarray(fx), np.asarray(jx), np.asarray(gx), np.asarray(hx))
 
     # ------------------------------------------------------------ composition
-    def eval(self, other):
-        """Composition self(other(x)); reference: NestedFunction.h chain rule."""
+    def eval(self, other, idx=None):
+        """Composition self(other(x)); reference: NestedFunction.h chain rule.
+
+        eval(n, [i0, i1, ...]) composes with an index selection from R^n
+        (reference `f.eval(8, [0,2,6])` idiom)."""
+        if idx is not None:
+            n = int(other)
+            sel = jnp.asarray(np.asarray(list(idx), dtype=np.int64))
+            if len(sel) != self._ir:
+                raise ValueError("eval(n, idx): len(idx) != IRows")
+            f = self._fn
+            return VectorFunction(lambda x: f(jnp.atleast_1d(x)[sel]),
+                                  n, self._orr, name=f"{self._name}∘sel")
         other = _stack_arg(other)
         if other.ORows() != self._ir:
             raise ValueError(

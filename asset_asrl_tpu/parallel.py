@@ -97,17 +97,29 @@ def make_iteration_step(phase, delta=1.0e-5, gammaE=1.0e-10,
 
 
 def init_state(phase, mu0=1.0e-3, boundpush=1.0e-3):
-    """Solver state from the phase's current trajectory (init_impl analog)."""
+    """Solver state from the phase's current trajectory (init_impl analog).
+
+    Runs on the host CPU backend (setup, not solver math); mu is a strong
+    f64 scalar so the state aval exactly matches the iteration output (no
+    retrace on the second step)."""
     if phase._need_transcribe or phase._nlp is None:
         phase.transcribe()
     nlp = phase._nlp
-    x = jnp.asarray(phase.makeSolverInput())
-    _, cE, cI = nlp.eval_obj_cons(x)
+    x0 = phase.makeSolverInput()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu is not None         else contextlib.nullcontext()
+    with ctx:
+        _, cE, cI = nlp.eval_obj_cons(jnp.asarray(x0))
     cI = np.asarray(cI)
     s = np.where(cI < -boundpush, np.abs(cI), boundpush)
     lamI = mu0 / s
-    return (x, jnp.asarray(s), jnp.zeros((nlp.numEq,), DEFAULT_DTYPE),
-            jnp.asarray(lamI), jnp.asarray(mu0))
+    return (jnp.asarray(x0), jnp.asarray(s),
+            jnp.zeros((nlp.numEq,), DEFAULT_DTYPE),
+            jnp.asarray(lamI), jnp.array(mu0, dtype=DEFAULT_DTYPE))
 
 
 def make_batched_step(phase, mesh=None, axis="scenario"):
