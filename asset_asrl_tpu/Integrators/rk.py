@@ -311,11 +311,23 @@ class Integrator:
         return [np.asarray(r) for r in out]
 
     def integrate_dense(self, x0, tf, nsteps=None, events=None):
+        # reference overloads: integrate_dense(x0, tf, [events...]) — a
+        # list/tuple of events (or a bare callable) in the nsteps slot
+        if events is None and nsteps is not None and not isinstance(
+                nsteps, (int, np.integer)):
+            events, nsteps = nsteps, None
         row = self._row(x0)
         t0 = row[self.ode.XVars()]
         if events:
-            return self._integrate_dense_events(row, t0, float(tf),
+            traj = self._integrate_dense_events(row, t0, float(tf),
                                                 nsteps, events)
+            # reference convention: (trajectory, event rows) when events are
+            # given as (func, dir, stop) tuples; plain trajectory for bare
+            # stop-callables (Goddard-style)
+            if isinstance(events, (list, tuple)) and any(
+                    isinstance(e, (list, tuple)) for e in events):
+                return traj, [traj[-1]]
+            return traj
         if nsteps is None:
             nsteps = max(int(abs(float(tf) - t0) / self.DefStepSize) + 1, 2)
         ts = jnp.asarray(np.linspace(t0, float(tf), int(nsteps))[1:])

@@ -301,20 +301,32 @@ def _ldl_pivots(D):
     return jnp.stack(pivs, axis=1)   # (K, W)
 
 
-def _inv_newton(D):
-    """Batched matrix inverse: f32 LU inverse + two f64 Newton refinement
-    steps (X <- X(2I - DX)).
+# "mixed": f32 LU + f64 Newton refinement (required on TPU, whose
+# LuDecomposition is f32-only); "f64": exact f64 LU (CPU).  "auto" picks by
+# backend at trace time.
+INV_MODE = "auto"
 
-    XLA:TPU implements LuDecomposition only in f32; refinement recovers full
-    f64 accuracy for the regularized (quasi-definite) KKT blocks — the same
-    mixed-precision strategy the reference exposes as Pardiso QPRefSteps
-    (`PSIOPT.h:146`)."""
+
+def _inv_newton(D):
+    """Batched matrix inverse.
+
+    Mixed mode: f32 LU inverse + f64 Newton refinement steps
+    (X <- X(2I - DX)) — the TPU strategy, mirroring Pardiso's QPRefSteps
+    iterative refinement (`PSIOPT.h:146`).  Four refinement steps handle
+    block condition numbers up to ~1e7; beyond that (badly scaled problems)
+    enable auto-scaling or run the f64 path."""
+    mode = INV_MODE
+    if mode == "auto":
+        mode = "f64" if jax.default_backend() == "cpu" else "mixed"
+    if mode == "f64":
+        return jnp.linalg.inv(D)
     W = D.shape[-1]
     X = jnp.linalg.inv(D.astype(jnp.float32)).astype(DEFAULT_DTYPE)
     X = jnp.where(jnp.isfinite(X), X, 0.0)
     eye = jnp.eye(W, dtype=DEFAULT_DTYPE)
-    for _ in range(2):
-        X = X @ (2.0 * eye - D @ X)
+    for _ in range(4):
+        R = eye - D @ X
+        X = X + X @ R
     return X
 
 

@@ -133,3 +133,86 @@ def test_goddard_multiphase():
     # continuity across links
     assert np.allclose(phase1.returnTraj()[-1][:4],
                        phase2.returnTraj()[0][:4], atol=1e-6)
+
+
+class _Cannon(oc.ODEBase):
+    """Multi-phase cannonball with ODE parameter (reference
+    `examples/MultiPhaseCannon.py`): find the ball radius maximizing range."""
+
+    G0, LSTAR, TSTAR, MSTAR = 9.81, 1000, 60.0, 10
+    ASTAR = LSTAR / TSTAR ** 2
+    RHOSTAR = MSTAR / LSTAR ** 3
+    ESTAR = MSTAR * (LSTAR / TSTAR) ** 2
+    CD = .5
+    RHOAIR = 1.225 / RHOSTAR
+    RHOIRON = 7870 / RHOSTAR
+    HSCALE = 8.44e3 / LSTAR
+    E0 = 400000 / ESTAR
+    G = G0 / ASTAR
+
+    @classmethod
+    def mass(cls, rad):
+        return (4 / 3) * (np.pi * cls.RHOIRON) * rad ** 3
+
+    def __init__(self):
+        args = oc.ODEArguments(4, 0, 1)
+        v, gamma, h, r = args.XVec().tolist()
+        rad = args.PVar(0)
+        S = np.pi * rad ** 2
+        M = self.mass(rad)
+        rho = self.RHOAIR * vf.exp(-h / self.HSCALE)
+        D = (0.5 * self.CD) * rho * (v ** 2) * S
+        ode = vf.stack([-D / M - self.G * vf.sin(gamma),
+                        -self.G * vf.cos(gamma) / v,
+                        v * vf.sin(gamma), v * vf.cos(gamma)])
+        super().__init__(ode, 4, 0, 1)
+
+
+def test_multiphase_cannon():
+    C = _Cannon
+    rad0 = .1 / C.LSTAR
+    h0, r0 = 100 / C.LSTAR, 0
+    gamma0 = np.deg2rad(45)
+    v0 = np.sqrt(2 * C.E0 / C.mass(rad0)) * .99
+    ode = _Cannon()
+    integ = ode.integrator(.01)
+    integ.setAbsTol(1e-13)
+    IG = np.zeros(6)
+    IG[0], IG[1], IG[2], IG[3], IG[5] = v0, gamma0, h0, r0, rad0
+
+    apex = oc.ODEArguments(4, 0, 1)
+    AscentIG = integ.integrate_dense(
+        IG, 60 / C.TSTAR, [(apex[0] * vf.sin(apex[1]), 0, 1)])[0]
+    DescentIG = integ.integrate_dense(
+        AscentIG[-1], AscentIG[-1][4] + 1000 / C.TSTAR,
+        [(oc.ODEArguments(4, 0, 1)[2], 0, 1)])[0]
+
+    def EFunc():
+        v, rad = Args(2).tolist()
+        return 0.5 * C.mass(rad) * v ** 2 - C.E0
+
+    aphase = ode.phase("LGL5", AscentIG, 96)
+    aphase.addLowerVarBound("ODEParams", 0, 0.0, 1)
+    aphase.addLowerVarBound("Front", 1, 0.0, 1.0)
+    aphase.addBoundaryValue("Front", [2, 3, 4], [h0, r0, 0])
+    aphase.addInequalCon("Front", EFunc() * .01, [0], [0], [])
+    aphase.addBoundaryValue("Back", [1], [0.0])
+    dphase = ode.phase("LGL5", DescentIG, 96)
+    dphase.addBoundaryValue("Back", [2], [0.0])
+    dphase.addValueObjective("Back", 3, -1.0)
+    ocp = oc.OptimalControlProblem()
+    ocp.addPhase(aphase)
+    ocp.addPhase(dphase)
+    ocp.addForwardLinkEqualCon(aphase, dphase, [0, 1, 2, 3, 4])
+    ocp.addDirectLinkEqualCon(0, "ODEParams", [0], 1, "ODEParams", [0])
+    ocp.optimizer.set_OptLSMode("L1")
+    ocp.optimizer.set_PrintLevel(2)
+    flag = ocp.optimize()
+    assert flag == CONVERGED
+    D = dphase.returnTraj()
+    dist = D[-1][3] * C.LSTAR
+    radius = D[-1][-1] * C.LSTAR
+    assert abs(dist - 3280.2) < 25, dist
+    assert abs(radius - 0.04195) < 5e-3, radius
+    # ODE param linked across phases
+    assert abs(aphase.returnTraj()[0][-1] - D[-1][-1]) < 1e-10
