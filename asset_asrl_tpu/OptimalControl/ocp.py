@@ -176,6 +176,12 @@ class OptimalControlProblem:
         nvars = off + self._link_params.size
         nlp = NonLinearProgram(nvars)
 
+        # global unit vector (auto-scaled phases expose scaled variables;
+        # link functions must see physical values)
+        self._Uglob = np.ones(nvars)
+        for p, o in zip(self.Phases, offsets):
+            if p.AutoScaling:
+                self._Uglob[o:o + p.numVars] = p.var_units()
         for p, o in zip(self.Phases, offsets):
             eqs, iqs, objs = p._build_families()
             for fam in eqs:
@@ -263,7 +269,8 @@ class OptimalControlProblem:
                     return trace(jnp.concatenate([ia[vaj], ib[vbj]]))
             nlp.addEqualCon(IndexedFunction(
                 fun, np.asarray([idx], np.int32), np.zeros((1, 1)),
-                name="link"))
+                name="link",
+                in_scales=self._Uglob[np.asarray([idx])]))
         elif kind in ("general", "objective"):
             _, func, pr = spec
             trace, ir, orr = _tracefun(func)
@@ -293,7 +300,8 @@ class OptimalControlProblem:
                 return trace(jnp.concatenate(parts))
 
             fam = IndexedFunction(fun, np.asarray([idx], np.int32),
-                                  np.zeros((1, 1)), name="link")
+                                  np.zeros((1, 1)), name="link",
+                                  in_scales=self._Uglob[np.asarray([idx])])
             if kind == "objective":
                 nlp.addObjective(fam)
             else:

@@ -250,6 +250,19 @@ class Phase:
         pass
 
     def setUnits(self, *a, **kw):
+        """Canonical units per XtUP variable (reference
+        `ODEPhaseBase.h:201` setUnits), consumed by auto-scaling."""
+        if a and not isinstance(a[0], (int, float)):
+            u = np.asarray(a[0], dtype=np.float64).ravel()
+        elif a:
+            u = np.asarray(a, dtype=np.float64).ravel()
+        else:
+            u = None
+        need = self.XV + 1 + self.UV + self.PV
+        if u is not None:
+            if u.size < need:
+                u = np.concatenate([u, np.ones(need - u.size)])
+            self._xtup_units = u[:need]
         self._units = (a, kw)
 
     def setAutoScaling(self, flag=True, *a):
@@ -831,6 +844,71 @@ class Phase:
                               axis=1)
         return IndexedFunction(fun, Vidx, consts, name="integral")
 
+    def var_units(self):
+        """(numVars,) canonical unit per phase variable (1 = unscaled)."""
+        need = self.XV + 1 + self.UV + self.PV
+        units = getattr(self, "_xtup_units", None)
+        if units is None:
+            units = np.ones(need)
+        U = np.ones(self.numVars)
+        m = self._m
+        for nd in range(self.numNodes):
+            U[nd * m:nd * m + self.XV] = units[:self.XV]
+            U[nd * m + self.XV:(nd + 1) * m] = units[self.XV + 1:
+                                                     self.XV + 1 + self.UV]
+        U[self._t0i] = units[self.XV]
+        U[self._tfi] = units[self.XV]
+        for k in range(self.PV):
+            U[self._opi(k)] = units[self.XV + 1 + self.UV + k]
+        return U
+
+    def _apply_autoscale(self, eqs, iqs, objs):
+        """Reference calc_auto_scales (`ODEPhaseBase.cpp:1295`): scale
+        variables by their units and constraint rows by the probed mean
+        norm of the unit-scaled Jacobian row; objective scales are
+        synchronized across all objectives
+        (`get_objective_scales`/`update_objective_scales`)."""
+        import jax
+        from ..Solvers.nlp import IndexedFunction, _family_valjac
+        U = self.var_units()
+        self._scale_vec = U
+        V0 = self.makeSolverInput(raw=True)
+
+        try:
+            cpu = jax.devices("cpu")[0]
+            ctx = jax.default_device(cpu)
+        except RuntimeError:
+            import contextlib
+            ctx = contextlib.nullcontext()
+
+        def row_scales(fam):
+            with ctx:
+                vj = jax.jit(_family_valjac(fam.fun))
+                fx, jx = vj(jnp.asarray(V0[fam.Vidx]),
+                            jnp.asarray(fam.consts))
+            Uin = U[fam.Vidx]
+            rown = np.linalg.norm(np.asarray(jx) * Uin[:, None, :], axis=2)
+            mean = rown.mean(axis=0)
+            return 1.0 / np.clip(mean, 1e-8, 1e8)
+
+        def rescale(fam, rs):
+            return IndexedFunction(
+                fam.fun, fam.Vidx, fam.consts, name=fam.name,
+                in_scales=U[fam.Vidx],
+                out_scales=np.broadcast_to(rs, (fam.napps, fam.nout)))
+
+        eqs2 = [rescale(f, row_scales(f)) for f in eqs]
+        iqs2 = [rescale(f, row_scales(f)) for f in iqs]
+        oscales = [row_scales(f) for f in objs]
+        if oscales:
+            osync = float(np.mean([sc[0] for sc in oscales]))
+            objs2 = [rescale(f, np.full(1, osync)) for f in objs]
+            self._obj_scale = osync
+        else:
+            objs2 = objs
+            self._obj_scale = 1.0
+        return eqs2, iqs2, objs2
+
     def _build_families(self):
         """(eqs, iqs, objs) IndexedFunction lists in phase-local indices."""
         eqs, iqs, objs = [], [], []
@@ -855,6 +933,10 @@ class Phase:
                 iqs.append(
                     self._region_family(spec.region, spec.fun, spec.nout,
                                         spec.name))
+        if self.AutoScaling:
+            eqs, iqs, objs = self._apply_autoscale(eqs, iqs, objs)
+        else:
+            self._scale_vec = None
         return eqs, iqs, objs
 
     def node_of_var(self):
@@ -891,7 +973,7 @@ class Phase:
         self._need_transcribe = False
 
     # --------------------------------------------------------- solve entries
-    def makeSolverInput(self):
+    def makeSolverInput(self, raw=False):
         V = np.zeros(self.numVars)
         m = self._m
         for i in range(self.numNodes):
@@ -903,9 +985,13 @@ class Phase:
             V[self._opi(k)] = self._odeparams[k]
         for k in range(self.SPV):
             V[self._spi(k)] = self._static_params[k]
+        if not raw and getattr(self, "_scale_vec", None) is not None:
+            V = V / self._scale_vec
         return V
 
     def collectSolverOutput(self, V):
+        if getattr(self, "_scale_vec", None) is not None:
+            V = V * self._scale_vec
         m = self._m
         self.t0 = float(V[self._t0i])
         self.tf = float(V[self._tfi])
@@ -931,6 +1017,10 @@ class Phase:
         V0 = self.makeSolverInput()
         V = getattr(self.optimizer, method)(V0)
         self.collectSolverOutput(np.asarray(V))
+        osc = getattr(self, "_obj_scale", None)
+        if osc:
+            # report the physical objective (rows run scaled internally)
+            self.optimizer.LastObjVal /= osc
         return self.optimizer.ConvergeFlag
 
     def _mesh_call(self, method):

@@ -40,7 +40,8 @@ class IndexedFunction:
     consts: (napps, nc) float array of per-application constants.
     """
 
-    def __init__(self, fun, Vidx, consts=None, name="fun", scale=None):
+    def __init__(self, fun, Vidx, consts=None, name="fun", scale=None,
+                 in_scales=None, out_scales=None):
         if isinstance(fun, VectorFunction):
             vfun = fun
             self.fun = lambda x, c: vfun.trace(x)
@@ -65,8 +66,33 @@ class IndexedFunction:
         if self.consts.shape[0] != self.napps:
             raise ValueError(f"{name}: consts rows != napps")
         self.name = name
-        # scale: per-output-row scaling (auto-scaling support)
         self.scale = None if scale is None else np.asarray(scale, np.float64)
+        # auto-scaling (reference calc_auto_scales/IOScaled): fold variable
+        # units and row scales into the traced function via per-application
+        # constants, so every downstream consumer (dense/block assembly,
+        # residuals, sparsity probing) sees the scaled problem uniformly
+        if in_scales is not None or out_scales is not None:
+            nc0 = self.consts.shape[1]
+            nin = self.nin
+            ins = np.ones((self.napps, nin)) if in_scales is None \
+                else np.asarray(in_scales, np.float64)
+            base = self.fun
+            if out_scales is not None:
+                outs = np.asarray(out_scales, np.float64)
+                nout = outs.shape[1]
+                self.consts = np.concatenate(
+                    [self.consts, ins, outs], axis=1)
+
+                def scaled(g, c, base=base, nc0=nc0, nin=nin, nout=nout):
+                    return c[nc0 + nin:nc0 + nin + nout] * jnp.atleast_1d(
+                        base(c[nc0:nc0 + nin] * g, c[:nc0]))
+            else:
+                self.consts = np.concatenate([self.consts, ins], axis=1)
+
+                def scaled(g, c, base=base, nc0=nc0, nin=nin):
+                    return jnp.atleast_1d(
+                        base(c[nc0:nc0 + nin] * g, c[:nc0]))
+            self.fun = scaled
         if self.nout is None:
             probe = jax.eval_shape(
                 self.fun,
