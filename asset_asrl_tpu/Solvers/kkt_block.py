@@ -289,16 +289,22 @@ def _ldl_pivots(D):
     Unpivoted is numerically safe here because PSIOPT regularizes the KKT to
     symmetric quasi-definite form (delta/gamma diagonals)."""
     K, W, _ = D.shape
-    M = D
-    pivs = []
-    for j in range(W):
-        d = M[:, j, j]
-        pivs.append(d)
-        mask = (np.arange(W) > j).astype(D.dtype)
-        l = M[:, :, j] * mask[None, :]
+    ar = jnp.arange(W)
+
+    def body(j, carry):
+        M, pivs = carry
+        col = M[:, :, j]
+        d = col[:, j]
+        pivs = pivs.at[:, j].set(d)
+        mask = (ar > j).astype(D.dtype)
+        l = col * mask[None, :]
         dsafe = jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
         M = M - l[:, :, None] * l[:, None, :] / dsafe[:, None, None]
-    return jnp.stack(pivs, axis=1)   # (K, W)
+        return M, pivs
+
+    _, pivs = jax.lax.fori_loop(
+        0, W, body, (D, jnp.zeros((K, W), D.dtype)))
+    return pivs
 
 
 # "mixed": f32 LU + f64 Newton refinement (required on TPU, whose
