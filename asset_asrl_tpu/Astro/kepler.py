@@ -198,8 +198,27 @@ def lambert_izzo_multi(r1s, r2s, tofs, mu=1.0, longway=False, nthreads=None):
 
 
 # --------------------------------------------------------- element convs
+def true_to_mean_anomaly(ta, e):
+    E = 2.0 * np.arctan2(np.sqrt(1 - e) * np.sin(ta / 2),
+                         np.sqrt(1 + e) * np.cos(ta / 2))
+    return E - e * np.sin(E)
+
+
+def mean_to_true_anomaly(M, e, tol=1e-13):
+    E = M
+    for _ in range(30):
+        f = E - e * np.sin(E) - M
+        if abs(f) < tol:
+            break
+        E = E - f / (1 - e * np.cos(E))
+    return 2.0 * np.arctan2(np.sqrt(1 + e) * np.sin(E / 2),
+                            np.sqrt(1 - e) * np.cos(E / 2))
+
+
 def cartesian_to_classic(rv, mu=1.0):
-    """[r, v] -> [a, e, i, RAAN, argp, true anomaly]."""
+    """[r, v] -> [a, e, i, RAAN, argp, mean anomaly] (elliptic), matching
+    the reference convention (`KeplerUtils.h:20` solves Kepler's equation in
+    classic_to_cartesian, so the 6th element is MEAN anomaly)."""
     r = np.asarray(rv[:3], dtype=np.float64)
     v = np.asarray(rv[3:6], dtype=np.float64)
     rn = np.linalg.norm(r)
@@ -228,12 +247,15 @@ def cartesian_to_classic(rv, mu=1.0):
     else:
         ta = np.arccos(np.clip(n @ r / (nn * rn), -1, 1)) if nn > 1e-14 \
             else np.arctan2(r[1], r[0])
-    return np.array([a, e, i, raan, argp, ta])
+    M = true_to_mean_anomaly(ta, e) if e < 1.0 else ta
+    return np.array([a, e, i, raan, argp, M])
 
 
 def classic_to_cartesian(oe, mu=1.0):
-    """[a, e, i, RAAN, argp, true anomaly] -> [r, v]."""
-    a, e, i, raan, argp, ta = np.asarray(oe, dtype=np.float64)
+    """[a, e, i, RAAN, argp, mean anomaly] -> [r, v] (reference
+    `KeplerUtils.h:20`)."""
+    a, e, i, raan, argp, M = np.asarray(oe, dtype=np.float64)
+    ta = mean_to_true_anomaly(M, e) if e < 1.0 else M
     p = a * (1 - e * e)
     rn = p / (1 + e * np.cos(ta))
     r_pf = rn * np.array([np.cos(ta), np.sin(ta), 0.0])
@@ -250,7 +272,8 @@ def classic_to_cartesian(oe, mu=1.0):
 
 def cartesian_to_modified(rv, mu=1.0):
     """[r, v] -> modified equinoctial [p, f, g, h, k, L]."""
-    a, e, i, raan, argp, ta = cartesian_to_classic(rv, mu)
+    a, e, i, raan, argp, M = cartesian_to_classic(rv, mu)
+    ta = mean_to_true_anomaly(M, e) if e < 1.0 else M
     p = a * (1 - e * e)
     f = e * np.cos(argp + raan)
     g = e * np.sin(argp + raan)

@@ -133,7 +133,7 @@ class Phase:
         """Set nodes-per-segment layout and normalized node times."""
         tm = self.TranscriptionMode
         S = int(numsegs)
-        if tm in ("LGL3", "Trapezoidal"):
+        if tm in ("LGL3", "Trapezoidal", "CentralShooting"):
             self._cs = 2
         elif tm == "LGL5":
             self._cs = 3
@@ -142,7 +142,7 @@ class Phase:
         else:
             raise NotImplementedError(f"transcription mode {tm}")
         cs = self._cs
-        self._scheme = get_scheme("LGL3" if tm == "Trapezoidal" else tm)
+        self._scheme = get_scheme("LGL3" if cs == 2 else tm)
         self.numSegs = S
         self.numNodes = S * (cs - 1) + 1
         bounds = np.linspace(0.0, 1.0, S + 1)
@@ -684,6 +684,8 @@ class Phase:
         m = self._m
         ode_rhs = self.ode.vf().trace
         trap = self.TranscriptionMode == "Trapezoidal"
+        if self.TranscriptionMode == "CentralShooting":
+            return self._shooting_family()
 
         x_int = jnp.asarray(sch.x_interp)
         dx_int = jnp.asarray(sch.dx_interp)
@@ -723,6 +725,60 @@ class Phase:
         Vidx = self._gather_nodes(apps, segs=list(range(self.numSegs)))
         consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]], axis=1)
         return IndexedFunction(fun, Vidx, consts, name="defects")
+
+    def _shooting_family(self):
+        """Central-shooting defects: fixed-step RK4 forward from the
+        segment start and backward from the segment end meet at the
+        midpoint (reference ShootingDefects.h:11-41, built there by
+        composing two integrator calls).  Controls are linear in local
+        time between the segment's nodes."""
+        XV, UV, PV = self.XV, self.UV, self.PV
+        m = self._m
+        ode_rhs = self.ode.vf().trace
+        nsub = int(getattr(self, "ShooterSubSteps", 4))
+
+        def rk4_span(x, u0, u1, t0, h, p, nsteps, udir):
+            # integrate nsteps of RK4 over [t0, t0+h*nsteps]; control
+            # linear from u0 (local 0) to u1 (local 1) over the HALF span
+            def f(xx, tt, s_loc):
+                u = u0 * (1.0 - s_loc) + u1 * s_loc
+                return ode_rhs(jnp.concatenate([xx, tt[None], u, p]))
+            for i in range(nsteps):
+                t = t0 + i * h
+                s0 = i / nsteps
+                sh = (i + 0.5) / nsteps
+                s1 = (i + 1.0) / nsteps
+                k1 = f(x, t, s0)
+                k2 = f(x + 0.5 * h * k1, t + 0.5 * h, sh)
+                k3 = f(x + 0.5 * h * k2, t + 0.5 * h, sh)
+                k4 = f(x + h * k3, t + h, s1)
+                x = x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            return x
+
+        def fun(g, c):
+            t0g = g[2 * m]
+            tfg = g[2 * m + 1]
+            p = g[2 * m + 2:2 * m + 2 + PV]
+            T = tfg - t0g
+            dtau = c[1] - c[0]
+            hseg = dtau * T
+            ta = t0g + c[0] * T
+            tb = t0g + c[1] * T
+            xa = g[0:XV]
+            ua = g[XV:m]
+            xb = g[m:m + XV]
+            ub = g[m + XV:2 * m]
+            nh = max(nsub // 2, 1)
+            hf = 0.5 * hseg / nh
+            xf_mid = rk4_span(xa, ua, 0.5 * (ua + ub), ta, hf, p, nh, +1)
+            xb_mid = rk4_span(xb, ub, 0.5 * (ua + ub), tb, -hf, p, nh, -1)
+            return xf_mid - xb_mid
+
+        apps = [tuple(self.seg_nodes[k]) for k in range(self.numSegs)]
+        Vidx = self._gather_nodes(apps, segs=list(range(self.numSegs)))
+        consts = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]],
+                          axis=1)
+        return IndexedFunction(fun, Vidx, consts, name="shooting")
 
     def _control_families(self):
         """Control regularity constraints per ControlMode (reference

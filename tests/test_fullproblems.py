@@ -45,7 +45,7 @@ class Brachistochrone(oc.ODEBase):
         super().__init__(ode, 3, 1)
 
 
-@pytest.mark.parametrize("tmode", ["LGL3", "LGL5", "LGL7", "Trapezoidal"])
+@pytest.mark.parametrize("tmode", ["LGL3", "LGL5", "LGL7", "Trapezoidal", "CentralShooting"])
 def test_brachistochrone(tmode):
     g = 9.81
     ode = Brachistochrone(g)
