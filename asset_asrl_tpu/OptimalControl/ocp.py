@@ -212,7 +212,7 @@ class OptimalControlProblem:
                 node_off += p.numNodes
             try:
                 from ..Solvers.kkt_block import BlockKKT
-                kkt = BlockKKT(nlp, nov)
+                kkt = BlockKKT(nlp, nov, x0=self._make_input())
             except ValueError as e:
                 if self.optimizer.PrintLevel <= 1:
                     print(f"  [kkt] falling back to dense backend: {e}")

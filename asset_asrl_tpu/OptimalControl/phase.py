@@ -1018,7 +1018,8 @@ class Phase:
         if getattr(self, "KKTBackend", "block") == "block":
             try:
                 from ..Solvers.kkt_block import BlockKKT
-                kkt = BlockKKT(nlp, self.node_of_var())
+                kkt = BlockKKT(nlp, self.node_of_var(),
+                               x0=self.makeSolverInput())
             except ValueError as e:
                 # non-banded coupling (e.g. nonlinear front-to-back
                 # constraints): fall back to the dense backend

@@ -326,6 +326,8 @@ def _inv_newton(D):
         mode = "f64" if jax.default_backend() == "cpu" else "mixed"
     if mode == "f64":
         return jnp.linalg.inv(D)
+    if mode == "gj":
+        return _inv_gj(D)
     W = D.shape[-1]
     X = jnp.linalg.inv(D.astype(jnp.float32)).astype(DEFAULT_DTYPE)
     X = jnp.where(jnp.isfinite(X), X, 0.0)
@@ -334,6 +336,27 @@ def _inv_newton(D):
         R = eye - D @ X
         X = X + X @ R
     return X
+
+
+def _inv_gj(D):
+    """Batched unpivoted Gauss-Jordan inverse in full f64 (for TPU, whose
+    LU is f32-only).  Valid for the regularized quasi-definite KKT blocks;
+    select with INV_MODE='gj' for badly conditioned problems where the
+    mixed-precision path is insufficient."""
+    K, W, _ = D.shape
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=D.dtype), (K, W, W))
+    M = jnp.concatenate([D, eye], axis=2)
+
+    def body(j, M):
+        dj = M[:, j, j]
+        dsafe = jnp.where(jnp.abs(dj) > 1e-300, dj, 1.0)
+        piv = M[:, j, :] / dsafe[:, None]
+        M = M - M[:, :, j][:, :, None] * piv[:, None, :]
+        M = M.at[:, j, :].set(piv)
+        return M
+
+    M = jax.lax.fori_loop(0, W, body, M)
+    return M[:, :, W:]
 
 
 def _inv_sym(D):
@@ -496,15 +519,20 @@ class BlockKKT:
       iq_matvec(fac, dx) -> J_I dx ;  iq_rmatvec(fac, v) -> J_I^T v
     """
 
-    def __init__(self, nlp, node_of_var, probe_seed=7):
+    def __init__(self, nlp, node_of_var, probe_seed=7, x0=None):
         nlp.freeze()
         self.nlp = nlp
         from .nlp import _family_full, _family_valjac
 
         # ---- probe structural sparsity of every family (TPU analog of the
-        # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| at random
-        # inputs, OR over apps/probes -> nonzero masks ----
+        # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| near the
+        # initial trajectory (physical inputs — pure-random points can
+        # overflow stiff expressions like exp(-h/h_scale) and poison the
+        # masks) and OR over apps/probes.  Non-finite entries count as
+        # nonzero (conservative). ----
         rng = np.random.default_rng(probe_seed)
+        if x0 is not None:
+            x0 = np.asarray(x0, np.float64)
 
         def probe(f):
             # jit per family: one local-CPU compile instead of op-by-op
@@ -512,15 +540,24 @@ class BlockKKT:
             full = jax.jit(_family_full(f.fun))
             jac_nz = np.zeros((f.nout, f.nin), bool)
             hess_nz = np.zeros((f.nin, f.nin), bool)
-            for _ in range(2):
-                xg = jnp.asarray(rng.normal(size=(f.napps, f.nin)) * 0.7
-                                 + 0.3)
+            for k in range(2):
+                if x0 is not None:
+                    base = x0[f.Vidx]
+                    scale = np.maximum(np.abs(base), 1e-3)
+                    xg = jnp.asarray(
+                        base + rng.normal(size=base.shape) * scale
+                        * (0.01 + 0.1 * k))
+                else:
+                    xg = jnp.asarray(rng.normal(size=(f.napps, f.nin)) * 0.7
+                                     + 0.3)
                 lam = jnp.asarray(rng.normal(size=(f.napps, f.nout)) + 2.0)
                 fx, jx, hx = full(xg, jnp.asarray(f.consts), lam)
-                jac_nz |= np.asarray(
-                    jnp.max(jnp.abs(jx), axis=0) > 1e-250)
-                hess_nz |= np.asarray(
-                    jnp.max(jnp.abs(hx), axis=0) > 1e-250)
+                jxa = np.asarray(jx)
+                hxa = np.asarray(hx)
+                jac_nz |= np.nanmax(np.abs(jxa), axis=0) > 1e-250
+                jac_nz |= ~np.isfinite(jxa).all(axis=0)
+                hess_nz |= np.nanmax(np.abs(hxa), axis=0) > 1e-250
+                hess_nz |= ~np.isfinite(hxa).all(axis=0)
             hess_nz |= hess_nz.T
             return jac_nz, hess_nz
 
