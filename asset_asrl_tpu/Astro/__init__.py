@@ -14,3 +14,6 @@ from .kepler import (KeplerPropagator, propagate_kepler, lambert_izzo,
                      lambert_izzo_multi, cartesian_to_classic,
                      classic_to_cartesian, cartesian_to_modified,
                      modified_to_cartesian)
+from . import Date
+from . import DataReadWrite
+from .DataReadWrite import ReadData, WriteData

@@ -331,7 +331,37 @@ class OptimalControlProblem:
         V0 = self._make_input()
         V = getattr(self.optimizer, method)(V0)
         self._collect(np.asarray(V))
-        return self.optimizer.ConvergeFlag
+        flag = self.optimizer.ConvergeFlag
+        if not self.AdaptiveMesh:
+            return flag
+        # multi-phase adaptive mesh loop (reference ocp_call_impl,
+        # `OptimalControlProblem.cpp:530-611`): estimate per-phase errors,
+        # refine failing phases, re-transcribe the whole OCP, re-solve
+        from .mesh import segment_errors, update_mesh, _combine
+        max_iters = max(p.MaxMeshIters for p in self.Phases)
+        for it in range(max_iters):
+            all_ok = True
+            for p in self.Phases:
+                errs = segment_errors(p)
+                err = _combine(errs, p.MeshErrorCriteria)
+                p.MeshConverged = err < p.MeshTol
+                if self.optimizer.PrintLevel <= 1:
+                    print(f"  [mesh] phase {self.Phases.index(p)}: "
+                          f"segs {p.numSegs} err {err:.3e} "
+                          f"tol {p.MeshTol:.1e}")
+                if not p.MeshConverged:
+                    all_ok = False
+                    n_new, bounds = update_mesh(p, errs)
+                    traj = p.returnTraj()
+                    p.setTraj(traj, n_new)
+            if all_ok:
+                return flag
+            self.transcribe()
+            V0 = self._make_input()
+            V = getattr(self.optimizer, method)(V0)
+            self._collect(np.asarray(V))
+            flag = self.optimizer.ConvergeFlag
+        return flag
 
     def optimize(self):
         return self._call("optimize")

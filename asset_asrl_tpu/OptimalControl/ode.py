@@ -90,7 +90,37 @@ class ODEBase:
                 f"ODE expression output size {odefunc.ORows()} != XVars "
                 f"{self.XV}")
         self._vf = odefunc
-        self.Vgroups = Vgroups
+        self.Vgroups = {}
+        if Vgroups:
+            self.add_Vgroups(Vgroups)
+
+    def add_Vgroups(self, Vgroups):
+        """Register named variable groups (reference ODEBaseClass.py:70):
+        values may be index lists, Arguments-derived segment/element
+        functions (indices recovered by probing with arange), or lists of
+        group names."""
+        for names, val in Vgroups.items():
+            idxs = self._make_index_set(val)
+            if isinstance(names, tuple):
+                for nm in names:
+                    self.Vgroups[str(nm)] = idxs
+            else:
+                self.Vgroups[str(names)] = idxs
+
+    def _make_index_set(self, val):
+        from ..VectorFunctions.function import VectorFunction
+        if isinstance(val, VectorFunction):
+            n = val.IRows()
+            out = val.compute(np.arange(n, dtype=np.float64))
+            idxs = np.rint(out).astype(np.int64)
+            return idxs
+        vals = []
+        for v in np.atleast_1d(np.asarray(val, dtype=object)).ravel():
+            if isinstance(v, str):
+                vals.extend(self.Vgroups[v])
+            else:
+                vals.append(int(v))
+        return np.asarray(vals, dtype=np.int64)
 
     # counts
     def XVars(self):

@@ -263,6 +263,13 @@ class Phase:
             if u.size < need:
                 u = np.concatenate([u, np.ones(need - u.size)])
             self._xtup_units = u[:need]
+        if kw:
+            units = getattr(self, "_xtup_units", None)
+            if units is None:
+                units = np.ones(need)
+            for name, val in kw.items():
+                units[self._resolve_idx(name)] = float(val)
+            self._xtup_units = units
         self._units = (a, kw)
 
     def setAutoScaling(self, flag=True, *a):
@@ -416,6 +423,22 @@ class Phase:
         return per
 
     # ------------------------------------------------------------- user API
+    def _resolve_idx(self, indices):
+        """Normalize variable-index arguments: ints, iterables, or Vgroup
+        names (reference VarIndexType, `InterfaceTypes.h:11-25`)."""
+        groups = getattr(self.ode, "Vgroups", {}) or {}
+        if isinstance(indices, str):
+            return np.asarray(groups[indices], dtype=np.int64)
+        if isinstance(indices, (int, np.integer)):
+            return np.asarray([indices], dtype=np.int64)
+        out = []
+        for v in indices:
+            if isinstance(v, str):
+                out.extend(groups[v])
+            else:
+                out.append(int(v))
+        return np.asarray(out, dtype=np.int64)
+
     def _add(self, kind, region, fun, nout, name):
         self._specs.append(_Spec(kind, region, fun, nout, name))
         self._need_transcribe = True
@@ -455,7 +478,7 @@ class Phase:
                 return f_trim, ir, orr
             return trace, ir, orr
         # subset index form
-        xtuv = np.asarray(args[0], dtype=np.int64).ravel()
+        xtuv = self._resolve_idx(args[0])
         opv = np.asarray(args[1], dtype=np.int64).ravel() if len(args) > 1 \
             else np.zeros(0, np.int64)
         spv = np.asarray(args[2], dtype=np.int64).ravel() if len(args) > 2 \
@@ -478,7 +501,7 @@ class Phase:
 
     # boundary values / locks ------------------------------------------------
     def addBoundaryValue(self, region, indices, values):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = jnp.asarray(self._resolve_idx(indices))
         vals = jnp.asarray(np.asarray(values, dtype=np.float64).ravel())
         def fun(inp):
             return inp[idx] - vals
@@ -508,6 +531,11 @@ class Phase:
 
     # bounds ----------------------------------------------------------------
     def addLUVarBound(self, region, var, lb, ub, scale=1.0):
+        if isinstance(var, str) or not isinstance(var, (int, np.integer)):
+            resolved = self._resolve_idx(var)
+            if len(resolved) > 1:
+                return self.addLUVarBounds(region, resolved, lb, ub, scale)
+            var = int(resolved[0])
         var = int(var); lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             v = inp[var]
@@ -516,7 +544,7 @@ class Phase:
 
     def addLUVarBounds(self, region, varlist, lb, ub, scale=1.0):
         out = []
-        for v in np.asarray(varlist).ravel():
+        for v in self._resolve_idx(varlist):
             out.append(self.addLUVarBound(region, int(v), lb, ub, scale))
         return out
 
@@ -560,7 +588,7 @@ class Phase:
         return self._add("iq", region, fun, 1, "upperfuncbound")
 
     def addLUNormBound(self, region, indices, lb, ub, scale=1.0):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = jnp.asarray(self._resolve_idx(indices))
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -568,7 +596,7 @@ class Phase:
         return self._add("iq", region, fun, 2, "lunormbound")
 
     def addLowerNormBound(self, region, indices, lb, scale=1.0):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = jnp.asarray(self._resolve_idx(indices))
         lb = float(lb); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -576,7 +604,7 @@ class Phase:
         return self._add("iq", region, fun, 1, "lowernormbound")
 
     def addUpperNormBound(self, region, indices, ub, scale=1.0):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = jnp.asarray(self._resolve_idx(indices))
         ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -584,7 +612,7 @@ class Phase:
         return self._add("iq", region, fun, 1, "uppernormbound")
 
     def addLUSquaredNormBound(self, region, indices, lb, ub, scale=1.0):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = jnp.asarray(self._resolve_idx(indices))
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sum(jnp.square(inp[idx]))
@@ -619,6 +647,8 @@ class Phase:
 
     # objectives -------------------------------------------------------------
     def addValueObjective(self, region, var, scale=1.0):
+        if isinstance(var, str):
+            var = int(self._resolve_idx(var)[0])
         var = int(var); s = float(scale)
         def fun(inp):
             return (inp[var] * s)[None]
@@ -644,7 +674,7 @@ class Phase:
         trace, ir, orr = _tracefun(func)
         if orr != 1:
             raise ValueError("integral objective must be scalar")
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = self._resolve_idx(indices)
         if len(idx) != ir:
             raise ValueError("index list width != function input size")
         return self._add("intobj", "Integral", (trace, idx), 1, "intobj")

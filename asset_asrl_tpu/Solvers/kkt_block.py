@@ -359,6 +359,31 @@ def _inv_gj(D):
     return M[:, :, W:]
 
 
+def _inv_gj_pivots(D):
+    """Batched unpivoted Gauss-Jordan: full-f64 inverse AND the pivot
+    sequence in one W-step loop.  The GJ pivots equal the LDL^T pivots
+    (ratios of leading principal minors), so one sweep yields both the
+    inverse and the inertia — no f32 LU custom call, no refinement
+    iterations, exact f64 on TPU (whose LuDecomposition is f32-only)."""
+    K, W, _ = D.shape
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=D.dtype), (K, W, W))
+    M = jnp.concatenate([D, eye], axis=2)
+
+    def body(j, carry):
+        M, pivs = carry
+        dj = M[:, j, j]
+        pivs = pivs.at[:, j].set(dj)
+        dsafe = jnp.where(jnp.abs(dj) > 1e-300, dj, 1.0)
+        piv = M[:, j, :] / dsafe[:, None]
+        M = M - M[:, :, j][:, :, None] * piv[:, None, :]
+        M = M.at[:, j, :].set(piv)
+        return M, pivs
+
+    M, pivs = jax.lax.fori_loop(
+        0, W, body, (M, jnp.zeros((K, W), D.dtype)))
+    return M[:, :, W:], pivs
+
+
 def _inv_sym(D):
     """Batched symmetric inverse + negative-pivot inertia count.
 
@@ -366,10 +391,13 @@ def _inv_sym(D):
     solver's perturbation ladder engages (Pardiso's rank-deficiency path,
     reference factor_impl `PSIOPT.cpp:422`); with delta/gamma regularization
     every macro block is quasi-definite and elimination is clean."""
-    pivs = _ldl_pivots(D)
+    if INV_MODE == "mixed":
+        pivs = _ldl_pivots(D)
+        Dinv = _inv_newton(D)
+    else:
+        Dinv, pivs = _inv_gj_pivots(D)
     bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
     neg = jnp.sum((pivs < 0) | bad)
-    Dinv = _inv_newton(D)
     Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
 

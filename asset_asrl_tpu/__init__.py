@@ -17,3 +17,12 @@ from . import Astro
 from . import Utils
 
 __version__ = "0.1.0"
+
+
+def SoftwareInfo():
+    """Startup banner (reference `src/main.cpp:18-121` SoftwareInfo)."""
+    import jax
+    devs = ", ".join(str(d) for d in jax.devices())
+    print(f"asset_asrl_tpu {__version__} — TPU-native ASSET "
+          f"(JAX {jax.__version__}; devices: {devs})")
+
