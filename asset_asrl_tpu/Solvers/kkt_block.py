@@ -307,10 +307,29 @@ def _ldl_pivots(D):
     return pivs
 
 
-# "mixed": f32 LU + f64 Newton refinement (required on TPU, whose
-# LuDecomposition is f32-only); "f64": exact f64 LU (CPU).  "auto" picks by
-# backend at trace time.
+# "pallas": fused f32 Gauss-Jordan Pallas kernel + f64 Newton refinement
+# (one VMEM-resident kernel instead of a W-step XLA loop);
+# "mixed": f32 LU + f64 Newton refinement; "f64": exact f64 LU (CPU).
+# "auto" picks by backend at trace time.
 INV_MODE = "auto"
+
+# Precision of the BCR factorization itself.  "f32" runs every level's
+# inverses and Schur-update matmuls in float32 (MXU-native; f64 matmuls are
+# software-emulated on TPU and ~20x slower) and recovers full f64 accuracy
+# with iterative refinement against the stored f64 blocks at solve time —
+# the TPU analog of Pardiso's QPRefSteps knob (`src/Solvers/PSIOPT.h:146`).
+# "f64" factors in doubles (exact, the CPU default).  "auto": f32 on TPU.
+FACTOR_DTYPE = "auto"
+
+# Iterative-refinement rounds per solve when factoring in f32.
+REFINE_STEPS = 3
+
+
+def _factor_dtype():
+    mode = FACTOR_DTYPE
+    if mode == "auto":
+        mode = "f64" if jax.default_backend() == "cpu" else "f32"
+    return jnp.float32 if mode == "f32" else DEFAULT_DTYPE
 
 
 def _inv_newton(D):
@@ -384,6 +403,18 @@ def _inv_gj_pivots(D):
     return M[:, :, W:], pivs
 
 
+def _newton_refine(D, X32, steps=4):
+    """Refine an approximate f32 inverse to f64: X <- X(2I - DX)."""
+    W = D.shape[-1]
+    X = jnp.asarray(X32, DEFAULT_DTYPE)
+    X = jnp.where(jnp.isfinite(X), X, 0.0)
+    eye = jnp.eye(W, dtype=DEFAULT_DTYPE)
+    for _ in range(steps):
+        R = eye - D @ X
+        X = X + X @ R
+    return X
+
+
 def _inv_sym(D):
     """Batched symmetric inverse + negative-pivot inertia count.
 
@@ -391,18 +422,37 @@ def _inv_sym(D):
     solver's perturbation ladder engages (Pardiso's rank-deficiency path,
     reference factor_impl `PSIOPT.cpp:422`); with delta/gamma regularization
     every macro block is quasi-definite and elimination is clean."""
-    if INV_MODE == "mixed":
-        pivs = _ldl_pivots(D)
-        Dinv = _inv_newton(D)
+    if D.dtype == jnp.float32:
+        # f32 factorization path: one fused Pallas kernel on TPU (inverse +
+        # pivots, no refinement — accuracy is recovered by system-level
+        # iterative refinement in the solve); plain GJ elsewhere.
+        if jax.default_backend() == "tpu":
+            from .pallas_kernels import batched_gj_inverse
+            Dinv, pivs = batched_gj_inverse(D)
+        else:
+            Dinv, pivs = _inv_gj_pivots(D)
     else:
-        Dinv, pivs = _inv_gj_pivots(D)
-    bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
+        mode = INV_MODE
+        if mode == "auto":
+            mode = "f64" if jax.default_backend() == "cpu" else "pallas"
+        if mode == "pallas":
+            from .pallas_kernels import batched_gj_inverse
+            X32, pivs = batched_gj_inverse(D)
+            Dinv = _newton_refine(D, X32)
+            pivs = jnp.asarray(pivs, DEFAULT_DTYPE)
+        elif mode == "mixed":
+            pivs = _ldl_pivots(D)
+            Dinv = _inv_newton(D)
+        else:
+            Dinv, pivs = _inv_gj_pivots(D)
+    tiny = 1e-25 if Dinv.dtype == jnp.float32 else 1e-250
+    bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < tiny)
     neg = jnp.sum((pivs < 0) | bad)
     Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
 
 
-def bcr_factor(diag, lower, Bmat, C, nlevels=None):
+def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None):
     """Compacted block cyclic reduction of [T, B; B^T, C].
 
     diag (K,W,W) symmetric; lower (K,W,W) with lower[k] = K[k+1,k]
@@ -414,7 +464,16 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None):
     sequential levels — the TPU substitute for Pardiso's sequential
     supernodal LDL^T.  Returns (fac, neigs); neigs is the exact count of
     negative eigenvalues of the full matrix (Sylvester congruence).
+
+    fdtype: compute precision of the factorization (f32 on TPU — MXU-native
+    matmuls + the Pallas inverse kernel; callers recover f64 accuracy via
+    iterative refinement in the solve).
     """
+    if fdtype is not None and diag.dtype != fdtype:
+        diag = diag.astype(fdtype)
+        lower = lower.astype(fdtype)
+        Bmat = Bmat.astype(fdtype)
+        C = C.astype(fdtype)
     K, W, _ = diag.shape
     b = C.shape[0]
     neigs = jnp.zeros((), jnp.int32)
@@ -476,10 +535,15 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None):
     D0inv = Dinv0[0]
     C_schur = C - B[0].T @ D0inv @ B[0]
     if b > 0:
-        pivs = _ldl_pivots(C_schur[None])[0]
-        bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
-        neigs = neigs + jnp.sum((pivs < 0) | bad)
-        Cinv = _inv_newton(C_schur[None])[0]
+        if C_schur.dtype == jnp.float32:
+            Cinv1, negC = _inv_sym(C_schur[None])
+            neigs = neigs + negC
+            Cinv = Cinv1[0]
+        else:
+            pivs = _ldl_pivots(C_schur[None])[0]
+            bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
+            neigs = neigs + jnp.sum((pivs < 0) | bad)
+            Cinv = _inv_newton(C_schur[None])[0]
     else:
         Cinv = jnp.zeros((0, 0), diag.dtype)
     return dict(levels=levels, D0inv=D0inv, B0=B[0], Cinv=Cinv), neigs
@@ -758,11 +822,18 @@ class BlockKKT:
                           jnp.where(self._c_sign < 0, -gammaE, 0.0)
                           ) * jnp.abs(self._c_sign)
 
-        fac, neigs = bcr_factor(diag.reshape(K, W, W),
-                                lower.reshape(K, W, W),
-                                Bm.reshape(K, W, b), C.reshape(b, b),
-                                self.nlevels)
+        diag4 = diag.reshape(K, W, W)
+        lower4 = lower.reshape(K, W, W)
+        B4 = Bm.reshape(K, W, b)
+        C4 = C.reshape(b, b)
+        fdtype = _factor_dtype()
+        fac, neigs = bcr_factor(diag4, lower4, B4, C4, self.nlevels,
+                                fdtype=fdtype)
         fac["iq_jx"] = iq_jx
+        if fdtype != DEFAULT_DTYPE:
+            # keep the exact f64 blocks for iterative refinement at solve
+            # time (Pardiso QPRefSteps analog, `PSIOPT.h:146`)
+            fac["blocks64"] = (diag4, lower4, B4, C4)
         return fac, neigs
 
     def factor(self, x, lamE, lamI, sigma, sig_tilde, delta,
@@ -778,8 +849,41 @@ class BlockKKT:
         K, W, b = bs.K, bs.W, bs.b
         full = jnp.zeros((K * W + b,), DEFAULT_DTYPE)
         full = full.at[self._perm].set(jnp.concatenate([rhs_x, rhs_E]))
-        y, z = bcr_solve(fac, full[:K * W].reshape(K, W), full[K * W:],
-                         self.nlevels)
+        rblk = full[:K * W].reshape(K, W)
+        rbrd = full[K * W:]
+        if "blocks64" not in fac:
+            y, z = bcr_solve(fac, rblk, rbrd, self.nlevels)
+        else:
+            # f32 factorization: sweep in f32, refine in f64 against the
+            # exact blocks (matvec is O(K W^2) f64 — cheap vs the factor)
+            diag, lower, Bm, C = fac["blocks64"]
+            fdt = fac["D0inv"].dtype
+
+            def matvec(y, z):
+                out = jnp.einsum("kij,kj->ki", diag, y)
+                if K > 1:
+                    out = out.at[1:].add(
+                        jnp.einsum("kij,kj->ki", lower[:-1], y[:-1]))
+                    out = out.at[:-1].add(
+                        jnp.einsum("kij,ki->kj", lower[:-1], y[1:]))
+                if b > 0:
+                    out = out + jnp.einsum("kiv,v->ki", Bm, z)
+                    outb = jnp.einsum("kiv,ki->v", Bm, y) + C @ z
+                else:
+                    outb = z
+                return out, outb
+
+            y = jnp.zeros((K, W), DEFAULT_DTYPE)
+            z = jnp.zeros((b,), DEFAULT_DTYPE)
+            ry, rz = rblk, rbrd
+            for _ in range(REFINE_STEPS + 1):
+                dy, dz = bcr_solve(fac, ry.astype(fdt), rz.astype(fdt),
+                                   self.nlevels)
+                y = y + dy.astype(DEFAULT_DTYPE)
+                z = z + dz.astype(DEFAULT_DTYPE)
+                my, mz = matvec(y, z)
+                ry = rblk - my
+                rz = rbrd - mz
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]
