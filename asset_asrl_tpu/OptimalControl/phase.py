@@ -1133,9 +1133,15 @@ class Phase:
         return self._mesh_call("optimize_solve")
 
     def jet_run(self):
-        return self._mesh_call({"optimize": "optimize", "solve": "solve",
-                                "solve_optimize": "solve_optimize"}.get(
-                                    self.JetJobMode, "optimize"))
+        mode = str(self.JetJobMode)
+        canon = {"optimize": "optimize", "solve": "solve",
+                 "solve_optimize": "solve_optimize",
+                 "solveoptimize": "solve_optimize",
+                 "optimize_solve": "optimize_solve",
+                 "optimizesolve": "optimize_solve",
+                 "solve_optimize_solve": "solve_optimize_solve",
+                 "solveoptimizesolve": "solve_optimize_solve"}
+        return self._mesh_call(canon.get(mode.lower(), "optimize"))
 
     # ----------------------------------------------------------- extraction
     def returnTraj(self):

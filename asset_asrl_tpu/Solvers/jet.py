@@ -19,11 +19,13 @@ __all__ = ["Jet", "map"]
 class Jet:
 
     @staticmethod
-    def map(gen, args, nthreads=1, jobmode="optimize"):
+    def map(gen, args, nthreads=1, verbose=False, jobmode=None):
         """Build a problem per argument tuple and run its jet job.
 
         gen: callable(*arg) -> problem (phase/ocp/OptimizationProblem), or a
-        list of already-built problems.  Returns (problems, flags).
+        list of already-built problems.  Returns the problems, as the
+        reference does (`Jet.h:92` — per-problem flags live on each problem's
+        optimizer; a tally is printed when verbose).
         """
         problems = []
         if callable(gen):
@@ -35,15 +37,16 @@ class Jet:
             problems = list(gen)
         flags = []
         for i, p in enumerate(problems):
-            if hasattr(p, "setJetJobMode"):
+            if jobmode is not None and hasattr(p, "setJetJobMode"):
                 p.setJetJobMode(jobmode)
             flags.append(p.jet_run())
-        tally = {}
-        for f in flags:
-            tally[f] = tally.get(f, 0) + 1
-        print(f"Jet: {len(problems)} problems, flags {tally}")
-        return problems, flags
+        if verbose:
+            tally = {}
+            for f in flags:
+                tally[f] = tally.get(f, 0) + 1
+            print(f"Jet: {len(problems)} problems, flags {tally}")
+        return problems
 
 
-def map(gen, args, nthreads=1):  # noqa: A001 - reference free function
-    return Jet.map(gen, args, nthreads)
+def map(gen, args, nthreads=1, verbose=False):  # noqa: A001 - ref free func
+    return Jet.map(gen, args, nthreads, verbose)

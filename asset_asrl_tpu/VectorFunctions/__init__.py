@@ -4,8 +4,8 @@ TPU-native reimplementation of the reference `asset.VectorFunctions` module
 (`src/VectorFunctions/ASSET_VectorFunctions.cpp` bindings).
 """
 
-from .function import (VectorFunction, Arguments, ConditionalFunction,
-                       Constant, as_function, stack)
+from .function import (VectorFunction, ScalarFunction, Arguments,
+                       ConditionalFunction, Constant, as_function, stack)
 from .ops import (sin, cos, tan, arcsin, arccos, arctan, arctan2,
                   sinh, cosh, tanh, sqrt, cbrt, exp, log, log10,
                   abs, sign, squared, cubed, inverse,
@@ -14,7 +14,6 @@ from .ops import (sin, cos, tan, arcsin, arccos, arctan, arctan2,
 from .matrix import MatrixFunction, RowMatrix, ColMatrix
 from .pyfunc import PyVectorFunction, PyScalarFunction
 
-# ASSET alias: vf.Stack == vf.stack, vf.ScalarFunction used as a type tag
+# ASSET alias: vf.Stack == vf.stack
 Stack = stack
-ScalarFunction = VectorFunction
 from .interp import InterpTable1D, InterpTable2D, InterpTable3D, InterpTable4D

@@ -29,6 +29,7 @@ from ..config import DEFAULT_DTYPE
 
 __all__ = [
     "VectorFunction",
+    "ScalarFunction",
     "Arguments",
     "ConditionalFunction",
     "Constant",
@@ -482,6 +483,23 @@ class VectorFunction:
 
     def __ge__(self, other):
         return self._compare(other, jnp.greater_equal, "ge")
+
+
+class ScalarFunction(VectorFunction):
+    """Subclassable scalar-output function (reference `vf.ScalarFunction`):
+    ``class obj(vf.ScalarFunction): def __init__(self): super().__init__(expr)``
+    wraps an existing scalar expression."""
+
+    def __init__(self, expr, irows=None, name=None):
+        if isinstance(expr, VectorFunction):
+            if expr.ORows() != 1:
+                raise ValueError("ScalarFunction requires a 1-output function")
+            super().__init__(expr._fn, expr.IRows(), 1,
+                             name=name or expr.name)
+        else:
+            if irows is None:
+                raise ValueError("ScalarFunction from a raw closure needs irows")
+            super().__init__(expr, irows, 1, name=name or "ScalarFunction")
 
 
 class ConditionalFunction:
