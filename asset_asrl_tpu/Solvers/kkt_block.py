@@ -599,6 +599,36 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
     return y, z
 
 
+def _build_table(pairs, size, zero_slot, max_width=16):
+    """Invert (src, tgt) scatter pairs into a gather table.
+
+    Returns (table (size, maxc) int32 pointing into the value buffer —
+    unused slots point at `zero_slot` — plus overflow (src, tgt) pairs for
+    slots with more than `max_width` contributors, to be handled by a
+    fallback scatter).  This turns KKT assembly from element scatter-adds
+    (slow on TPU) into gathers + sums (fast, bandwidth-bound).
+    """
+    if not pairs:
+        return np.full((size, 1), zero_slot, np.int32), (
+            np.zeros(0, np.int32), np.zeros(0, np.int32))
+    src = np.concatenate([np.asarray(s, np.int64) for s, t in pairs])
+    tgt = np.concatenate([np.asarray(t, np.int64) for s, t in pairs])
+    order = np.argsort(tgt, kind="stable")
+    src, tgt = src[order], tgt[order]
+    counts = np.bincount(tgt, minlength=size)
+    maxc = int(counts.max()) if len(counts) else 1
+    width = min(maxc, max_width)
+    first = np.zeros(size + 1, np.int64)
+    first[1:] = np.cumsum(counts)
+    slot = np.arange(len(tgt)) - first[tgt]
+    keep = slot < width
+    table = np.full((size, max(width, 1)), zero_slot, np.int64)
+    table[tgt[keep], slot[keep]] = src[keep]
+    over = (np.asarray(src[~keep], np.int32), np.asarray(tgt[~keep],
+                                                         np.int32))
+    return np.asarray(table, np.int32), over
+
+
 class BlockKKT:
     """KKT provider over the block-tridiagonal+border structure.
 
@@ -609,6 +639,12 @@ class BlockKKT:
           -> (fac, neigs)
       solve(fac, rhs_x, rhs_E) -> (dx, dlamE)
       iq_matvec(fac, dx) -> J_I dx ;  iq_rmatvec(fac, v) -> J_I^T v
+
+    Internally the hot path is split reference-style (evalKKT once,
+    refactor many: `PSIOPT.cpp:422`):
+      _ad_impl        — one vmapped f/J/adjoint-H pass over every family
+      _blocks_impl    — gather-table assembly of (diag, lower, B, C)
+      _factor_blocks_impl — regularize + block cyclic reduction
     """
 
     def __init__(self, nlp, node_of_var, probe_seed=7, x0=None):
@@ -687,8 +723,8 @@ class BlockKKT:
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
                 Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
                 consts=jnp.asarray(f.consts),
-                jt=bs.jac_targets(f.Vidx, rows, jnz),
-                ht=bs.hess_targets(f.Vidx, hnz)))
+                need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
+                nout=f.nout, nin=f.nin, napps=f.napps))
         self._iq = []
         for f, rows, (jnz, hnz) in zip(nlp.iqcons, nlp._iq_rows, iq_nz):
             # condensation term J^T Sig~ J fills the union of jac-column
@@ -700,14 +736,16 @@ class BlockKKT:
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
                 Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
                 consts=jnp.asarray(f.consts),
-                ht=bs.hess_targets(f.Vidx, hfull)))
+                need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz, hfull=hfull,
+                nout=f.nout, nin=f.nin, napps=f.napps))
         self._obj = []
         for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
             self._obj.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
                 Vidx=jnp.asarray(f.Vidx), consts=jnp.asarray(f.consts),
-                napps=f.napps,
-                ht=bs.hess_targets(f.Vidx, hnz)))
+                need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
+                nout=f.nout, nin=f.nin, napps=f.napps))
+        self._build_plan()
 
         # regularization diagonal masks
         K, W, b = bs.K, bs.W, bs.b
@@ -724,14 +762,14 @@ class BlockKKT:
             mk, sl = bs._urow_macro[r], bs._urow_slot[r]
             if mk >= 0:
                 sign[mk * W * W + sl * W + sl] = -1.0
-        self._diag_sign = jnp.asarray(sign)
-        self._diag_fix = jnp.asarray(fix)
+        self._diag_sign = jnp.asarray(sign.reshape(K, W, W))
+        self._diag_fix = jnp.asarray(fix.reshape(K, W, W))
         csign = np.zeros(b * b)
         for i in range(b):
             csign[i * b + i] = 1.0
         for r, sl in bs.border_row_slot.items():
             csign[sl * b + sl] = -1.0
-        self._c_sign = jnp.asarray(csign)
+        self._c_sign = jnp.asarray(csign.reshape(b, b))
 
         self._jit_factor = jax.jit(self._factor_impl)
         self._jit_solve = jax.jit(self._solve_impl)
@@ -739,101 +777,241 @@ class BlockKKT:
         self._jit_iqmv = jax.jit(self._iq_matvec_impl)
         self._jit_iqrmv = jax.jit(self._iq_rmatvec_impl)
 
-    # ----------------------------------------------------------- residuals
-    def _resid_impl(self, x, lamE, lamI, sigma):
-        nlp = self.nlp
-        obj = jnp.zeros((), DEFAULT_DTYPE)
-        gradf = jnp.zeros((nlp.numPrimal,), DEFAULT_DTYPE)
-        rd = jnp.zeros((nlp.numPrimal,), DEFAULT_DTYPE)
-        for fam in self._obj:
-            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
-            obj = obj + jnp.sum(fx)
-            gradf = gradf.at[fam["Vidx"].ravel()].add(
-                sigma * jx.reshape(fam["Vidx"].shape[0], -1).ravel())
-        cE = jnp.zeros((nlp.numEq,), DEFAULT_DTYPE)
-        for fam in self._eq:
-            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
-            cE = cE.at[fam["rows"].ravel()].add(fx.ravel())
-            lam = lamE[fam["rows"]]
-            g = jnp.einsum("krc,kr->kc", jx, lam)
-            rd = rd.at[fam["Vidx"].ravel()].add(g.ravel())
-        cI = jnp.zeros((nlp.numIq,), DEFAULT_DTYPE)
+    # ------------------------------------------------------------ build plan
+    def _build_plan(self):
+        """Gather-table assembly plan.
+
+        The reference matches each (row, col) coefficient to a CSR slot once
+        during sparsity analysis and scatters per evaluation
+        (`NonLinearProgram.cpp:267`, KKTLocations).  Scatter-adds are slow on
+        TPU, so we invert the mapping: every family's J/H/condensation values
+        are concatenated into one value buffer per iteration, and each KKT
+        array is produced by a static gather table + sum over contributors —
+        pure gathers, deterministic, no locks (SURVEY.md section 2.9 P2).
+        """
+        bs = self.bs
+        K, W, b, n = bs.K, bs.W, bs.b, bs.n
+        off = 0
+        dpairs, lpairs, bpairs, cpairs = [], [], [], []
+
+        def add_targets(t, off):
+            for name, lst in (("diag", dpairs), ("lower", lpairs),
+                              ("B", bpairs), ("C", cpairs)):
+                if name in t and len(t[name][0]):
+                    s, tg = t[name]
+                    lst.append((np.asarray(s, np.int64) + off, tg))
+
+        # value-buffer layout: eq jac, [eq hess], iq hess(+cond), [obj hess]
+        for fam, rows_np, Vidx_np in [
+                (f, r, v) for f, r, v in zip(
+                    self._eq,
+                    [np.asarray(f["rows"]) for f in self._eq],
+                    [np.asarray(f["Vidx"]) for f in self._eq])]:
+            nv = fam["napps"] * fam["nout"] * fam["nin"]
+            fam["jac_off"] = off
+            add_targets(bs.jac_targets(Vidx_np, rows_np, fam["jnz"]), off)
+            off += nv
+            if fam["need_hess"]:
+                fam["hess_off"] = off
+                add_targets(bs.hess_targets(Vidx_np, fam["hnz"]), off)
+                off += fam["napps"] * fam["nin"] * fam["nin"]
         for fam in self._iq:
-            fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
-            cI = cI.at[fam["rows"].ravel()].add(fx.ravel())
+            Vidx_np = np.asarray(fam["Vidx"])
+            fam["hess_off"] = off
+            add_targets(bs.hess_targets(Vidx_np, fam["hfull"]), off)
+            off += fam["napps"] * fam["nin"] * fam["nin"]
+        for fam in self._obj:
+            if fam["need_hess"]:
+                Vidx_np = np.asarray(fam["Vidx"])
+                fam["hess_off"] = off
+                add_targets(bs.hess_targets(Vidx_np, fam["hnz"]), off)
+                off += fam["napps"] * fam["nin"] * fam["nin"]
+        self._vbuf_len = off
+
+        tdiag, dov = _build_table(dpairs, K * W * W, off)
+        tlow, lov = _build_table(lpairs, K * W * W, off)
+        tB, bov = _build_table(bpairs, K * W * b, off)
+        tC, cov = _build_table(cpairs, b * b, off, max_width=1 << 30)
+        self._tdiag = jnp.asarray(tdiag.reshape(K, W, W, -1))
+        self._tlow = jnp.asarray(tlow.reshape(K, W, W, -1))
+        self._tB = jnp.asarray(tB.reshape(K, W, b, -1)) if b > 0 else None
+        self._tC = jnp.asarray(tC.reshape(b, b, -1)) if b > 0 else None
+        # overflow pairs (slots with >16 contributors) fall back to scatter
+        self._overflow = [(jnp.asarray(s), jnp.asarray(t), name)
+                          for (s, t), name in
+                          [(dov, "diag"), (lov, "lower"), (bov, "B")]
+                          if len(s)]
+
+        # ---- adjoint-gradient gather plan (rd) ----
+        goff = 0
+        gpairs = []          # banded (src, var)
+        self._g_border = []  # (fam_list, i, cols, ids)
+        for which, fams, use_lam in (("eq", self._eq, True),
+                                     ("iq", self._iq, True),
+                                     ("obj", self._obj, False)):
+            for i, fam in enumerate(fams):
+                Vidx_np = np.asarray(fam["Vidx"])
+                napps, nin = fam["napps"], fam["nin"]
+                fam["g_off"] = goff
+                bcol = bs._uvar_macro[Vidx_np] < 0          # (napps, nin)
+                uniform = np.all(bcol == bcol[0:1], axis=0)
+                src = goff + np.arange(napps * nin).reshape(napps, nin)
+                bc = np.where(uniform & bcol[0])[0] if napps else \
+                    np.zeros(0, np.int64)
+                if len(bc) and napps and \
+                        np.all(Vidx_np[:, bc] == Vidx_np[0:1, bc]):
+                    ids = Vidx_np[0, bc]
+                    self._g_border.append((which, i, jnp.asarray(bc),
+                                           jnp.asarray(ids)))
+                    keep = np.ones(nin, bool)
+                    keep[bc] = False
+                else:
+                    keep = np.ones(nin, bool)
+                gpairs.append((src[:, keep].ravel(),
+                               Vidx_np[:, keep].ravel()))
+                goff += napps * nin
+        self._gbuf_len = goff
+        trd, gov = _build_table(gpairs, n, goff, max_width=24)
+        self._trd = jnp.asarray(trd)
+        if len(gov[0]):
+            self._g_overflow = (jnp.asarray(gov[0]), jnp.asarray(gov[1]))
+        else:
+            self._g_overflow = None
+
+    # --------------------------------------------------- family evaluation
+    def _eval_core(self, x, lamE, lamI, sigma, want_hess):
+        """One vmapped pass over every family (reference evalKKT,
+        `NonLinearProgram.cpp:473`): values + Jacobians (+ adjoint Hessians
+        when `want_hess`), assembled into obj/cE/cI/rd via concatenation and
+        gather tables — no scatters on the hot path."""
+        famvals = dict(jx_eq=[], hx_eq=[], jx_iq=[], hx_iq=[], hx_obj=[])
+        g2d = []
+        ce, ci = [], []
+        obj = jnp.zeros((), DEFAULT_DTYPE)
+        for fam in self._eq:
+            lam = lamE[fam["rows"]]
+            if want_hess and fam["need_hess"]:
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+            else:
+                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                hx = None
+            famvals["jx_eq"].append(jx)
+            famvals["hx_eq"].append(hx)
+            ce.append(fx.ravel())
+            g2d.append(jnp.einsum("krc,kr->kc", jx, lam))
+        for fam in self._iq:
             lam = lamI[fam["rows"]]
-            g = jnp.einsum("krc,kr->kc", jx, lam)
-            rd = rd.at[fam["Vidx"].ravel()].add(g.ravel())
-        rd = rd + gradf
-        return obj, gradf, cE, cI, rd
+            if want_hess and fam["need_hess"]:
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+            else:
+                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                hx = None
+            famvals["jx_iq"].append(jx)
+            famvals["hx_iq"].append(hx)
+            ci.append(fx.ravel())
+            g2d.append(jnp.einsum("krc,kr->kc", jx, lam))
+        for fam in self._obj:
+            if want_hess and fam["need_hess"]:
+                ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], ones)
+                hx = sigma * hx
+            else:
+                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                hx = None
+            obj = obj + jnp.sum(fx)
+            famvals["hx_obj"].append(hx)
+            g2d.append(sigma * jx.reshape(fam["napps"], fam["nin"]))
+        cE = jnp.concatenate(ce) if ce else jnp.zeros((0,), DEFAULT_DTYPE)
+        cI = jnp.concatenate(ci) if ci else jnp.zeros((0,), DEFAULT_DTYPE)
+        gbuf = jnp.concatenate([g.ravel() for g in g2d]
+                               + [jnp.zeros((1,), DEFAULT_DTYPE)])
+        rd = gbuf[self._trd].sum(-1)
+        base = {"eq": 0, "iq": len(self._eq),
+                "obj": len(self._eq) + len(self._iq)}
+        for which, i, cols, ids in self._g_border:
+            rd = rd.at[ids].add(g2d[base[which] + i][:, cols].sum(0))
+        if self._g_overflow is not None:
+            s, t = self._g_overflow
+            rd = rd.at[t].add(gbuf[s])
+        return obj, cE, cI, rd, famvals
+
+    def _ad_impl(self, x, lamE, lamI, sigma):
+        return self._eval_core(x, lamE, lamI, sigma, want_hess=True)
+
+    def _resid_impl(self, x, lamE, lamI, sigma):
+        obj, cE, cI, rd, _ = self._eval_core(x, lamE, lamI, sigma,
+                                             want_hess=False)
+        return obj, rd, cE, cI, rd   # 2nd slot (gradf) kept for API shape
 
     def eval_resid(self, x, lamE, lamI, sigma):
         return self._jit_resid(x, lamE, lamI, jnp.asarray(sigma))
 
-    # -------------------------------------------------------------- factor
-    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
+    # ------------------------------------------------------ block assembly
+    def _blocks_impl(self, famvals, sig_tilde):
+        """Gather-table assembly of (diag, lower, B, C) from the family
+        value buffer; the iq condensation J^T Sigma~ J is folded in here so
+        the perturbation ladder can refactor without re-running AD."""
         bs = self.bs
         K, W, b = bs.K, bs.W, bs.b
-        diag = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
-        lower = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
-        Bm = jnp.zeros((K * W * b,), DEFAULT_DTYPE)
-        C = jnp.zeros((b * b,), DEFAULT_DTYPE)
-
-        def scat(arrs, targets, vals):
-            vals = vals.ravel()
-            out = []
-            for name, arr in arrs:
-                if name in targets and len(targets[name][0]):
-                    s, t = targets[name]
-                    arr = arr.at[jnp.asarray(t)].add(vals[jnp.asarray(s)])
-                out.append(arr)
-            return out
-
-        iq_jx = []
-        for fam in self._obj:
-            ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
-            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], ones)
-            diag, lower, Bm, C = scat(
-                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
-                fam["ht"], sigma * hx)
-        for fam in self._eq:
-            lam = lamE[fam["rows"]]
-            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
-            diag, lower, Bm, C = scat(
-                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
-                fam["jt"], jx)
-            diag, lower, Bm, C = scat(
-                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
-                fam["ht"], hx)
-        for fam in self._iq:
-            lam = lamI[fam["rows"]]
-            fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+        vparts = []
+        for i, fam in enumerate(self._eq):
+            vparts.append(famvals["jx_eq"][i].ravel())
+            if fam["need_hess"]:
+                vparts.append(famvals["hx_eq"][i].ravel())
+        for i, fam in enumerate(self._iq):
+            jx = famvals["jx_iq"][i]
             st = sig_tilde[fam["rows"]]
-            hcond = jnp.einsum("kri,kr,krj->kij", jx, st, jx)
-            diag, lower, Bm, C = scat(
-                [("diag", diag), ("lower", lower), ("B", Bm), ("C", C)],
-                fam["ht"], hx + hcond)
-            iq_jx.append(jx)
+            h = jnp.einsum("kri,kr,krj->kij", jx, st, jx)
+            if fam["need_hess"]:
+                h = h + famvals["hx_iq"][i]
+            vparts.append(h.ravel())
+        for i, fam in enumerate(self._obj):
+            if fam["need_hess"]:
+                vparts.append(famvals["hx_obj"][i].ravel())
+        vbuf = jnp.concatenate(vparts + [jnp.zeros((1,), DEFAULT_DTYPE)])
+        diag = vbuf[self._tdiag].sum(-1)
+        lower = vbuf[self._tlow].sum(-1)
+        if b > 0:
+            B = vbuf[self._tB].sum(-1)
+            C = vbuf[self._tC].sum(-1)
+        else:
+            B = jnp.zeros((K * W * b,), DEFAULT_DTYPE)
+            C = jnp.zeros((0,), DEFAULT_DTYPE)
+        for s, t, name in self._overflow:
+            if name == "diag":
+                diag = diag.at[t].add(vbuf[s])
+            elif name == "lower":
+                lower = lower.at[t].add(vbuf[s])
+            elif name == "B":
+                B = B.at[t].add(vbuf[s])
+        return (diag.reshape(K, W, W), lower.reshape(K, W, W),
+                B.reshape(K, W, b), C.reshape(b, b))
 
-        diag = diag + jnp.where(self._diag_sign > 0, delta,
-                                jnp.where(self._diag_sign < 0, -gammaE, 0.0)
-                                ) * jnp.abs(self._diag_sign) + self._diag_fix
+    # -------------------------------------------------------------- factor
+    def _factor_blocks_impl(self, blocks, delta, gammaE):
+        """Regularize + factor pre-assembled blocks (the ladder's refactor
+        path: reference evaluates KKT once per iteration and only refactors,
+        `PSIOPT.cpp:422`)."""
+        diag, lower, B, C = blocks
+        diag = diag + jnp.where(
+            self._diag_sign > 0, delta,
+            jnp.where(self._diag_sign < 0, -gammaE, 0.0)) + self._diag_fix
         C = C + jnp.where(self._c_sign > 0, delta,
-                          jnp.where(self._c_sign < 0, -gammaE, 0.0)
-                          ) * jnp.abs(self._c_sign)
-
-        diag4 = diag.reshape(K, W, W)
-        lower4 = lower.reshape(K, W, W)
-        B4 = Bm.reshape(K, W, b)
-        C4 = C.reshape(b, b)
+                          jnp.where(self._c_sign < 0, -gammaE, 0.0))
         fdtype = _factor_dtype()
-        fac, neigs = bcr_factor(diag4, lower4, B4, C4, self.nlevels,
+        fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
                                 fdtype=fdtype)
-        fac["iq_jx"] = iq_jx
         if fdtype != DEFAULT_DTYPE:
             # keep the exact f64 blocks for iterative refinement at solve
             # time (Pardiso QPRefSteps analog, `PSIOPT.h:146`)
-            fac["blocks64"] = (diag4, lower4, B4, C4)
+            fac["blocks64"] = (diag, lower, B, C)
+        return fac, neigs
+
+    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
+        _, _, _, _, famvals = self._ad_impl(x, lamE, lamI, sigma)
+        blocks = self._blocks_impl(famvals, sig_tilde)
+        fac, neigs = self._factor_blocks_impl(blocks, delta, gammaE)
+        fac["iq_jx"] = famvals["jx_iq"]
         return fac, neigs
 
     def factor(self, x, lamE, lamI, sigma, sig_tilde, delta,

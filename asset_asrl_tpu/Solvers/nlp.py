@@ -201,18 +201,20 @@ class NonLinearProgram:
 
         def eval_obj_cons(x):
             """Objective value + raw constraint residuals (reference evalOCC:
-            used by the merit line search)."""
+            used by the merit line search).  Constraint rows are assigned
+            contiguously per family in family order (freeze), so cE/cI are
+            plain concatenations — no scatter."""
             obj = jnp.zeros((), DEFAULT_DTYPE)
             for f, fval, _, vidx, consts in obj_fams:
                 obj = obj + jnp.sum(fval(x[vidx], consts))
-            cE = jnp.zeros((mE,), DEFAULT_DTYPE)
-            for f, fval, _, vidx, consts, rows in eq_fams:
-                fx = fval(x[vidx], consts)
-                cE = cE.at[rows.ravel()].add(fx.ravel())
-            cI = jnp.zeros((mI,), DEFAULT_DTYPE)
-            for f, fval, _, vidx, consts, rows in iq_fams:
-                fx = fval(x[vidx], consts)
-                cI = cI.at[rows.ravel()].add(fx.ravel())
+            ceparts = [fval(x[vidx], consts).ravel()
+                       for f, fval, _, vidx, consts, rows in eq_fams]
+            cE = jnp.concatenate(ceparts) if ceparts else \
+                jnp.zeros((mE,), DEFAULT_DTYPE)
+            ciparts = [fval(x[vidx], consts).ravel()
+                       for f, fval, _, vidx, consts, rows in iq_fams]
+            cI = jnp.concatenate(ciparts) if ciparts else \
+                jnp.zeros((mI,), DEFAULT_DTYPE)
             return obj, cE, cI
 
         def eval_kkt(x, lamE, lamI, sigma):
@@ -269,6 +271,7 @@ class NonLinearProgram:
 
             return obj, gradf, cE, cI, H, JE, JI
 
+        self.eval_obj_cons_impl = eval_obj_cons   # raw (inlinable) version
         self.eval_obj_cons = jax.jit(eval_obj_cons)
         self.eval_kkt = jax.jit(eval_kkt)
 
