@@ -1,0 +1,372 @@
+"""Fused device-resident PSIOPT solve loop.
+
+The reference solver's per-iteration work — evalKKT, slack reset, barrier
+update, inertia-corrected factorization ladder, Newton solve,
+fraction-to-boundary, merit line search, convergence check
+(`src/Solvers/PSIOPT.cpp:465-727` alg_impl) — runs here as ONE
+`lax.while_loop` over iterations inside a single jit:
+
+* family AD runs once per iteration (`BlockKKT._ad_impl`); the
+  perturbation ladder refactors pre-assembled blocks in an inner
+  `lax.while_loop` (reference: evalKKT once, refactor many,
+  `PSIOPT.cpp:422`);
+* the merit line search is an inner `lax.while_loop` over the cheap
+  value-only family pass (`nlp.eval_obj_cons_impl`);
+* the convergence ladder (CONVERGED / ACCEPTABLE / NOTCONVERGED /
+  DIVERGING with acceptable-window tiers, `PSIOPT.cpp:130`) is evaluated
+  on-device from an iterate-info ring buffer;
+* ReturnBest iterate tracking (`PSIOPT.h:426-427`, `PSIOPT.cpp:633-650`)
+  is carried in the loop state.
+
+One host<->device round trip per *solve* (not per iteration) — the design
+point for TPU, where each dispatch otherwise costs a tunnel round trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from .kkt_block import BlockKKT
+
+__all__ = ["build_fused_alg", "INFO_FIELDS"]
+
+INFO_FIELDS = ("obj", "kkt", "econ", "icon", "barr", "mu", "alpha",
+               "nfacs", "hpert")
+
+# flags (match psiopt.ConvergenceFlags)
+_CONV, _ACC, _NOTCONV, _DIV = 0, 1, 2, 3
+
+
+def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
+    """Build the jitted whole-solve function for one mode ('OPT' or 'SOE').
+
+    opts: snapshot of PSIOPT knobs (plain python floats/ints/strings).
+    Returns fn(x, s, lamE, lamI) -> (x, s, lamE, lamI, flag, niters, infos).
+    """
+    nlp = kkt.nlp
+    n, mE, mI = nlp.numPrimal, nlp.numEq, nlp.numIq
+    soe = mode == "SOE"
+    sigma = 0.0 if soe else float(opts["ObjScale"])
+    barmode = opts["SoeBarMode"] if soe else opts["OptBarMode"]
+    lsmode = opts["SoeLSMode"] if soe else opts["OptLSMode"]
+    MaxIters = int(opts["MaxIters"])
+    MaxAccIters = int(opts["MaxAccIters"])
+    MaxLSIters = int(opts["MaxLSIters"])
+    MaxRefac = int(opts["MaxRefac"])
+    KKTtol, ECtol, ICtol, Btol = (float(opts["KKTtol"]),
+                                  float(opts["EContol"]),
+                                  float(opts["IContol"]),
+                                  float(opts["Bartol"]))
+    AccK, AccE, AccI, AccB = (float(opts["AccKKTtol"]),
+                              float(opts["AccEContol"]),
+                              float(opts["AccIContol"]),
+                              float(opts["AccBartol"]))
+    DivK, DivE, DivI, DivB = (float(opts["DivKKTtol"]),
+                              float(opts["DivEContol"]),
+                              float(opts["DivIContol"]),
+                              float(opts["DivBartol"]))
+    bfrac = float(opts["BoundFraction"])
+    negreset = float(opts["NegSlackReset"])
+    deltaH = float(opts["deltaH"])
+    incrH = float(opts["incrH"])
+    decrH = float(opts["decrH"])
+    MinMu, MaxMu = float(opts["MinMu"]), float(opts["MaxMu"])
+    gammaE = float(opts["gammaE"])
+    gammaI = float(opts["gammaI"])
+    alphaRed = float(opts["alphaRed"])
+    FastFactor = bool(opts["FastFactorAlg"])
+    initMu = float(opts["initMu"])
+    best_mode = str(opts.get("BestCriteria", "ECons"))
+
+    eval_oc = nlp.eval_obj_cons_impl
+    ninfo = len(INFO_FIELDS)
+
+    def iq_matvec(iq_jx, dx):
+        out = []
+        for fam, jx in zip(kkt._iq, iq_jx):
+            v = (jx.transpose(0, 2, 1)
+                 * dx[fam["Vidx"]][:, :, None]).sum(1)
+            out.append(v.ravel())
+        return jnp.concatenate(out) if out else jnp.zeros((0,),
+                                                          DEFAULT_DTYPE)
+
+    def iq_rmatvec(iq_jx, v):
+        out = jnp.zeros((n,), DEFAULT_DTYPE)
+        for fam, jx in zip(kkt._iq, iq_jx):
+            g = (jx * v[fam["rows"]][:, :, None]).sum(1)
+            out = out.at[fam["Vidx"].ravel()].add(g.ravel())
+        return out
+
+    def slack_reset(s, cI):
+        s = jnp.maximum(s, negreset)
+        feas = cI < 0.0
+        rI = jnp.where(feas, 0.0, cI + s)
+        s = jnp.where(feas, jnp.maximum(jnp.abs(cI), negreset), s)
+        return s, rI
+
+    def maxstep(v, dv):
+        bad = dv < -bfrac * v
+        cand = jnp.where(bad, -bfrac * v / jnp.where(bad, dv, -1.0), 1.0)
+        return jnp.minimum(1.0, jnp.min(cand, initial=1.0))
+
+    def factor_ladder(blocks, Hpert0, first_pert, zfac):
+        """Inertia-correction ladder (reference factor_impl + alg_impl
+        retry loop, `PSIOPT.cpp:422`): probe at delta=0 when allowed, then
+        climb deltas until inertia is correct."""
+        d0 = jnp.where(zfac, 0.0, Hpert0)
+        fac0, neigs0 = kkt._factor_blocks_impl(blocks, d0, gammaE)
+        incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
+
+        def cond(c):
+            fac, neigs, dused, dnext, k, _ = c
+            return (neigs > mE) & (k < MaxRefac)
+
+        def body(c):
+            fac, neigs, dused, dnext, k, incr = c
+            fac2, neigs2 = kkt._factor_blocks_impl(blocks, dnext, gammaE)
+            return (fac2, neigs2, dnext, dnext * incr, k + 1,
+                    jnp.asarray(incrH, DEFAULT_DTYPE))
+
+        dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
+        init = (fac0, neigs0, d0, dnext0, jnp.zeros((), jnp.int32), incr0)
+        fac, neigs, dused, _, k, _ = jax.lax.while_loop(cond, body, init)
+        return fac, neigs, dused, k
+
+    def line_search(x, s, lamE, lamI, dx, ds, PrimObj, BarrObj, Mu,
+                    rd, rs, cE, rI, lamE_d, lamI_d):
+        """Merit line search (reference ls_impl, `PSIOPT.cpp:811`)."""
+        allcons = jnp.concatenate([cE, rI])
+        lm = jnp.concatenate([lamE, lamI])
+        vv = jnp.concatenate([rd, rs]) @ jnp.concatenate([dx, ds])
+        cv = jnp.concatenate([lamE_d, lamI_d]) @ allcons
+        init_l2 = allcons @ allcons
+        init_linf = jnp.max(jnp.abs(allcons), initial=0.0)
+        sc0 = 0.01 if lsmode == "AUGLANG" else 0.1
+        sc = jnp.where(init_l2 > 0, sc0 + jnp.abs(vv - cv) / init_l2, 1.0)
+        init_l1 = jnp.abs(lm) @ jnp.abs(allcons)
+        lang_init = PrimObj + BarrObj + init_l1 + init_l2 * sc
+
+        def merit(alpha):
+            x2 = x + alpha * dx
+            obj2, cE2, cI2 = eval_oc(x2)
+            ptest = obj2 * sigma
+            if mI > 0:
+                s2 = s + alpha * ds
+                s2r, rI2 = slack_reset(s2, cI2)
+                btest = -Mu * jnp.sum(jnp.log(s2r))
+            else:
+                rI2 = cI2
+                btest = 0.0
+            allcons2 = jnp.concatenate([cE2, rI2])
+            test_l2 = allcons2 @ allcons2
+            test_linf = jnp.max(jnp.abs(allcons2), initial=0.0)
+            if lsmode == "AUGLANG":
+                eqerr = jnp.abs(cE2)
+                iqerr = jnp.abs(rI2)
+                test_l1 = jnp.sum(jnp.where(eqerr > ECtol * 10,
+                                            eqerr * jnp.abs(lamE), 0.0))
+                test_l1 += jnp.sum(jnp.where(iqerr > ICtol * 10,
+                                             iqerr * jnp.abs(lamI), 0.0))
+                l2eff = jnp.where(
+                    test_l2 < (ECtol ** 2 * mE + ICtol ** 2 * mI),
+                    0.0, test_l2)
+                lang_test = ptest + btest + test_l1 + l2eff * sc
+            else:
+                test_l1 = jnp.abs(lm) @ jnp.abs(allcons2)
+                lang_test = ptest + btest + test_l1 + test_l2 * sc
+            ok = (lang_test < lang_init) \
+                | ((ptest < PrimObj) & (test_l2 < init_l2)) \
+                | ((ptest < PrimObj) & (test_linf < init_linf))
+            return ok
+
+        def cond(c):
+            alpha, j, done = c
+            return (~done) & (j < MaxLSIters)
+
+        def body(c):
+            alpha, j, done = c
+            ok = merit(alpha)
+            alpha2 = jnp.where(ok, alpha, alpha / alphaRed)
+            return (alpha2, j + 1, ok)
+
+        alpha, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.ones((), DEFAULT_DTYPE),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), bool)))
+        return alpha
+
+    def iteration(carry):
+        (it, x, s, lamE, lamI, Mu, Hpert0, first_pert, nonzero4, infos,
+         flag, acc_count, best_crit, best_x, best_s, best_lE,
+         best_lI) = carry
+
+        obj, cE, cIraw, rd, famvals = kkt._ad_impl(x, lamE, lamI, sigma)
+
+        if mI > 0:
+            s, rI = slack_reset(s, cIraw)
+            Sig = jnp.where(lamI / s < 0.0, Mu / (s * s), lamI / s)
+            SigInv = jnp.where(Sig > 0, 1.0 / jnp.maximum(Sig, 1e-300), 0.0)
+            sig_tilde = Sig / (1.0 + gammaI * Sig)
+            comp = s * lamI
+            avgcomp = jnp.mean(comp)
+            mincomp = jnp.min(comp)
+            maxcomp = jnp.max(comp)
+        else:
+            rI = cIraw
+            sig_tilde = jnp.zeros((0,), DEFAULT_DTYPE)
+            SigInv = sig_tilde
+            avgcomp = mincomp = maxcomp = jnp.zeros((), DEFAULT_DTYPE)
+
+        blocks = kkt._blocks_impl(famvals, sig_tilde)
+
+        # FastFactorAlg probe heuristic (reference alg_impl): skip the
+        # delta=0 probe when the last 4 iterations all needed perturbation.
+        cycling = jnp.all(nonzero4)
+        zfac = ~(jnp.asarray(FastFactor)
+                 & (it > 6) & (((it * 3) % 4) != 0) & cycling)
+        fac, neigs, dused, nfacs = factor_ladder(blocks, Hpert0,
+                                                 first_pert, zfac)
+        pert_used = dused > 0
+        Hpert0 = jnp.where(pert_used,
+                           jnp.maximum(deltaH, dused * decrH), Hpert0)
+        first_pert = first_pert & ~pert_used
+        nonzero4 = jnp.concatenate([nonzero4[1:], pert_used[None]])
+
+        # ------------------------------------------- barrier mu update
+        iq_jx = famvals["jx_iq"]
+        if mI > 0:
+            if barmode == "PROBE":
+                w_aff = rI - SigInv * lamI
+                rx_aff = rd + iq_rmatvec(iq_jx, sig_tilde * w_aff)
+                dxa, _ = kkt._solve_impl(fac, -rx_aff, -cE)
+                dlamI_aff = sig_tilde * (iq_matvec(iq_jx, dxa) + w_aff)
+                ds_aff = -SigInv * (lamI + dlamI_aff)
+                navg = jnp.mean((s + ds_aff) * (lamI + dlamI_aff))
+                Mu = jnp.where(avgcomp != 0,
+                               (navg / avgcomp) ** 3 * avgcomp, Mu)
+            else:  # LOQO
+                eta = jnp.where(avgcomp != 0, mincomp / avgcomp, 0.0)
+                sigmat = 0.1 * (0.05 * (1.0 - eta)
+                                / jnp.maximum(eta, 1e-300)) ** 3
+                sig_mu = jnp.where(eta > 0,
+                                   jnp.minimum(0.8, jnp.abs(sigmat)), 0.8)
+                Mu = sig_mu * avgcomp
+            Mu = jnp.clip(Mu, MinMu, MaxMu)
+            BarrObj = -Mu * jnp.sum(jnp.log(jnp.maximum(s, 1e-300)))
+            rs = lamI - Mu / s
+        else:
+            BarrObj = jnp.zeros((), DEFAULT_DTYPE)
+            rs = jnp.zeros((0,), DEFAULT_DTYPE)
+
+        # ---------------------------------------------------- newton solve
+        if mI > 0:
+            w = rI - SigInv * rs
+            rhs_x = rd + iq_rmatvec(iq_jx, sig_tilde * w)
+        else:
+            rhs_x = rd
+        dx, dlamE = kkt._solve_impl(fac, -rhs_x, -cE)
+        if mI > 0:
+            dlamI = sig_tilde * (iq_matvec(iq_jx, dx) + w)
+            ds = -SigInv * (rs + dlamI)
+        else:
+            dlamI = lamI
+            ds = s
+        good = jnp.isfinite(jnp.sum(dx ** 2)) \
+            & jnp.isfinite(jnp.sum(dlamE ** 2))
+
+        if mI > 0:
+            alphap = maxstep(s, ds)
+            alphad = maxstep(lamI, dlamI)
+            dx = dx * alphap
+            ds = ds * alphap
+            dlamE = dlamE * alphap
+            dlamI = dlamI * alphad
+
+        # ------------------------------------------------------ line search
+        if lsmode in ("AUGLANG", "L1", "LANG"):
+            alpha = line_search(x, s, lamE, lamI, dx, ds,
+                                obj * sigma, BarrObj, Mu,
+                                rd, rs, cE, rI, dlamE, dlamI)
+            alpha = jnp.where(good, alpha, 1.0)
+        else:
+            alpha = jnp.ones((), DEFAULT_DTYPE)
+
+        # -------------------------------------------------- iterate record
+        kktinf = jnp.max(jnp.abs(rd), initial=0.0)
+        econinf = jnp.max(jnp.abs(cE), initial=0.0)
+        iconinf = jnp.max(jnp.abs(rI), initial=0.0)
+        barrinf = maxcomp
+        info = jnp.stack([obj, kktinf, econinf, iconinf, barrinf, Mu,
+                          alpha, nfacs.astype(DEFAULT_DTYPE), dused])
+        infos = jax.lax.dynamic_update_slice(
+            infos, info[None, :], (it, jnp.zeros((), it.dtype)))
+
+        # ---------------------------------------------- convergence ladder
+        diverging = (~good) \
+            | ~jnp.isfinite(kktinf + econinf + iconinf + barrinf) \
+            | (kktinf > DivK) | (econinf > DivE) | (iconinf > DivI) \
+            | (barrinf > DivB)
+        converged = (kktinf < KKTtol) & (econinf < ECtol) \
+            & (iconinf < ICtol) & (barrinf < Btol)
+        # acceptable tier: MaxAccIters consecutive iterates within the
+        # acceptable tolerances (reference convergeCheck, `PSIOPT.cpp:130`)
+        accrow = (kktinf < AccK) & (econinf < AccE) \
+            & (iconinf < AccI) & (barrinf < AccB)
+        acc_count = jnp.where(accrow, acc_count + 1, 0)
+        acceptable = acc_count > MaxAccIters
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        flag = jnp.where(diverging, i32(_DIV),
+                         jnp.where(converged, i32(_CONV),
+                                   jnp.where(acceptable, i32(_ACC),
+                                             i32(_NOTCONV))))
+
+        # --------------------------------------------- ReturnBest tracking
+        if best_mode == "ObjVal":
+            crit = obj
+        elif best_mode == "KKT":
+            crit = kktinf
+        else:  # ECons (reference default)
+            crit = jnp.maximum(econinf, iconinf)
+        better = crit < best_crit
+        best_crit = jnp.where(better, crit, best_crit)
+        best_x = jnp.where(better, x, best_x)
+        best_s = jnp.where(better, s, best_s)
+        best_lE = jnp.where(better, lamE, best_lE)
+        best_lI = jnp.where(better, lamI, best_lI)
+
+        # ------------------------------------------------------ take step
+        step_ok = (flag == _NOTCONV)
+        stepa = jnp.where(step_ok & good, alpha, 0.0)
+        x = x + stepa * dx
+        lamE = lamE + stepa * dlamE
+        if mI > 0:
+            s = s + stepa * ds
+            lamI = lamI + stepa * dlamI
+
+        return (it + 1, x, s, lamE, lamI, Mu, Hpert0, first_pert,
+                nonzero4, infos, flag, acc_count, best_crit, best_x,
+                best_s, best_lE, best_lI)
+
+    def cond(carry):
+        it, flag = carry[0], carry[10]
+        return (flag == _NOTCONV) & (it < MaxIters)
+
+    def run(x, s, lamE, lamI, Mu0):
+        infos = jnp.zeros((MaxIters, ninfo), DEFAULT_DTYPE)
+        init = (jnp.zeros((), jnp.int32), x, s, lamE, lamI,
+                jnp.asarray(Mu0, DEFAULT_DTYPE),
+                jnp.asarray(deltaH, DEFAULT_DTYPE),
+                jnp.ones((), bool), jnp.zeros((4,), bool), infos,
+                jnp.asarray(_NOTCONV, jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(jnp.inf, DEFAULT_DTYPE), x, s, lamE, lamI)
+        out = jax.lax.while_loop(cond, iteration, init)
+        (it, x, s, lamE, lamI, Mu, _, _, _, infos, flag, _, best_crit,
+         best_x, best_s, best_lE, best_lI) = out
+        return (x, s, lamE, lamI, Mu, flag, it, infos,
+                best_x, best_s, best_lE, best_lI)
+
+    return jax.jit(run)

@@ -470,8 +470,12 @@ def _inv_sym(D):
     if D.dtype == jnp.float32:
         # f32 factorization path: one fused Pallas kernel on TPU (inverse +
         # pivots, no refinement — accuracy is recovered by system-level
-        # iterative refinement in the solve); plain GJ elsewhere.
-        if jax.default_backend() == "tpu":
+        # iterative refinement in the solve); plain GJ elsewhere.  Tiny
+        # blocks (the border Schur, deep BCR levels) stay on the XLA path:
+        # Mosaic mislowers the masked iota/reduce pattern at lane widths
+        # below a tile, corrupting the pivot signs that drive the ladder.
+        if jax.default_backend() == "tpu" and D.shape[0] * D.shape[1] >= 64 \
+                and D.shape[1] >= 8:
             from .pallas_kernels import batched_gj_inverse
             Dinv, pivs = batched_gj_inverse(D)
         else:
@@ -497,7 +501,8 @@ def _inv_sym(D):
     return Dinv, neg
 
 
-def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None):
+def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None,
+               invert_border=True):
     """Compacted block cyclic reduction of [T, B; B^T, C].
 
     diag (K,W,W) symmetric; lower (K,W,W) with lower[k] = K[k+1,k]
@@ -582,6 +587,11 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None):
     neigs = neigs + neg0
     D0inv = Dinv0[0]
     C_schur = C - B[0].T @ D0inv @ B[0]
+    if not invert_border:
+        # substructuring path: the border Schur complement is exchanged
+        # across shards and factorized globally (kkt_sharded)
+        return dict(levels=levels, D0inv=D0inv, B0=B[0],
+                    C_schur=C_schur), neigs
     if b > 0:
         if C_schur.dtype == jnp.float32:
             Cinv1, negC = _inv_sym(C_schur[None])
@@ -597,8 +607,14 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None):
     return dict(levels=levels, D0inv=D0inv, B0=B[0], Cinv=Cinv), neigs
 
 
-def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
-    """Solve [T,B;B^T,C][y;z]=[r;rb] using bcr_factor output."""
+def bcr_reduce_rhs(fac, rhs_blocks, rhs_border):
+    """Forward sweep: reduce the banded rhs onto the root block + border.
+
+    Returns (stack of eliminated odd rhs per level, root rhs (W,),
+    reduced border rhs) — split out of bcr_solve so the sharded
+    substructured solver can reduce locally, exchange only the border,
+    and back-substitute with an externally solved border (SURVEY.md
+    section 2.9 P6)."""
     W = rhs_blocks.shape[1]
     r = rhs_blocks
     rb = rhs_border
@@ -619,15 +635,14 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
             - jnp.pad(a0, ((0, Kn - a0.shape[0]), (0, 0))) \
             - jnp.pad(a1, ((1, Kn - 1 - a1.shape[0]), (0, 0)))
         rb = rb - (lev["B_odd"] * t[:, :, None]).sum((0, 1))
-
-    # border + root solve
     rb = rb - fac["B0"].T @ (fac["D0inv"] @ r[0])
-    if fac["Cinv"].shape[0] > 0:
-        z = fac["Cinv"] @ rb
-    else:
-        z = rb
-    y = (fac["D0inv"] @ (r[0] - fac["B0"] @ z))[None, :]
+    return stack, r[0], rb
 
+
+def bcr_backsub(fac, stack, r_root, z):
+    """Back-substitution with a given border solution z."""
+    W = r_root.shape[0]
+    y = (fac["D0inv"] @ (r_root - fac["B0"] @ z))[None, :]
     for lev, r_odd in zip(reversed(fac["levels"]), reversed(stack)):
         Ke = lev["Dinv"].shape[0]
         Kn = y.shape[0]
@@ -644,7 +659,17 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
         y_odd_p = jnp.pad(y_odd, ((0, Kn - Ke), (0, 0)))
         y_full = jnp.stack([y_even, y_odd_p], axis=1).reshape(2 * Kn, W)
         y = y_full[:Ka]
+    return y
 
+
+def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
+    """Solve [T,B;B^T,C][y;z]=[r;rb] using bcr_factor output."""
+    stack, r_root, rb = bcr_reduce_rhs(fac, rhs_blocks, rhs_border)
+    if fac["Cinv"].shape[0] > 0:
+        z = fac["Cinv"] @ rb
+    else:
+        z = rb
+    y = bcr_backsub(fac, stack, r_root, z)
     return y, z
 
 
@@ -1101,17 +1126,30 @@ class BlockKKT:
                     outb = z
                 return out, outb
 
+            # Safeguarded iterative refinement: when the f32 factor is too
+            # inaccurate (extreme perturbation ladder deltas), plain
+            # refinement diverges geometrically; keep the best iterate by
+            # residual norm and freeze once it stops improving (Pardiso
+            # QPRefSteps behaves the same way, `PSIOPT.h:146`).
             y = jnp.zeros((K, W), DEFAULT_DTYPE)
             z = jnp.zeros((b,), DEFAULT_DTYPE)
             ry, rz = rblk, rbrd
+            best_norm = jnp.asarray(jnp.inf, DEFAULT_DTYPE)
             for _ in range(REFINE_STEPS + 1):
                 dy, dz = bcr_solve(fac, ry.astype(fdt), rz.astype(fdt),
                                    self.nlevels)
-                y = y + dy.astype(DEFAULT_DTYPE)
-                z = z + dz.astype(DEFAULT_DTYPE)
-                my, mz = matvec(y, z)
-                ry = rblk - my
-                rz = rbrd - mz
+                y2 = y + dy.astype(DEFAULT_DTYPE)
+                z2 = z + dz.astype(DEFAULT_DTYPE)
+                my, mz = matvec(y2, z2)
+                ry2 = rblk - my
+                rz2 = rbrd - mz
+                rn = jnp.sum(ry2 * ry2) + jnp.sum(rz2 * rz2)
+                ok = jnp.isfinite(rn) & (rn < best_norm)
+                best_norm = jnp.where(ok, rn, best_norm)
+                y = jnp.where(ok, y2, y)
+                z = jnp.where(ok, z2, z)
+                ry = jnp.where(ok, ry2, ry)
+                rz = jnp.where(ok, rz2, rz)
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]

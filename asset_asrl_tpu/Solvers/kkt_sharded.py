@@ -1,0 +1,187 @@
+"""Segment-axis sharded block-tridiagonal KKT (multi-chip substructuring).
+
+The single-chip backend factors [T, B; B^T, C] by block cyclic reduction
+(`kkt_block.bcr_factor`).  Here the macro chain is partitioned over a
+`jax.sharding.Mesh` axis: each device owns L consecutive macros, keeps its
+FIRST macro as the shard's boundary representative, eliminates its L-1
+interior macros with a purely local BCR (the representative, the next
+shard's representative, and the global border form an *extended border* of
+that local factorization), and exchanges only the (b + 2W)-sized border
+Schur complements via `all_gather` over ICI.  The reduced system — a
+block-tridiagonal chain over the D representatives plus the global border
+— is factorized redundantly on every device.
+
+This is the TPU-native replacement for the reference's shared-memory
+Pardiso factorization (`src/Solvers/PardisoInterface.h`) at pod scale:
+SURVEY.md section 2.9 P6 / section 5.8 — phases/segments are index-disjoint
+blocks whose only coupling is through boundary rows, so the chain is the
+natural sharding seam (`OptimalControlProblem.cpp:115-388`).
+
+Inertia is exact: per-shard interior pivot counts are `psum`-reduced and
+added to the reduced system's count (Sylvester congruence over the whole
+elimination), so PSIOPT's perturbation ladder behaves identically to the
+single-chip path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import DEFAULT_DTYPE
+from .kkt_block import (bcr_factor, bcr_reduce_rhs, bcr_backsub, bcr_solve,
+                        _factor_dtype)
+
+__all__ = ["sharded_factor", "sharded_solve", "pad_chain"]
+
+
+def pad_chain(diag, lower, B, C, D):
+    """Pad the K-macro chain to D*L macros with identity diagonal blocks
+    (clean +1 pivots, zero couplings)."""
+    K, W, _ = diag.shape
+    L = max(2, -(-K // D))   # >= 1 interior macro per shard
+    Kp = D * L
+    if Kp != K:
+        eye = jnp.broadcast_to(jnp.eye(W, dtype=diag.dtype),
+                               (Kp - K, W, W))
+        diag = jnp.concatenate([diag, eye], axis=0)
+        lower = jnp.concatenate(
+            [lower, jnp.zeros((Kp - K, W, W), lower.dtype)], axis=0)
+        B = jnp.concatenate(
+            [B, jnp.zeros((Kp - K, W, B.shape[2]), B.dtype)], axis=0)
+    # the padded region must not couple to the real chain
+    if Kp != K:
+        mask = (jnp.arange(Kp) < K - 1)[:, None, None]
+        lower = jnp.where(mask, lower, 0.0)
+    return diag, lower, B, C, L
+
+
+def sharded_factor(diag, lower, B, C, mesh, axis="seg", fdtype=None):
+    """Factor the padded chain over `mesh[axis]`.
+
+    diag/lower: (D*L, W, W); B: (D*L, W, b); C: (b, b) replicated.
+    Returns (fac, neigs); fac holds per-shard local factors (sharded
+    leaves) + the replicated reduced factorization.
+    """
+    D = mesh.shape[axis]
+    Kp, W, _ = diag.shape
+    b_orig = C.shape[0]
+    if b_orig == 0:
+        # zero-sized border operands break XLA:Shardy inside shard_map;
+        # pad to a decoupled 1-wide border (positive unit pivot, no effect)
+        B = jnp.zeros((Kp, W, 1), diag.dtype)
+        C = jnp.eye(1, dtype=diag.dtype)
+    b = C.shape[0]
+    bext = b + 2 * W
+    if fdtype is not None and diag.dtype != fdtype:
+        diag = diag.astype(fdtype)
+        lower = lower.astype(fdtype)
+        B = B.astype(fdtype)
+        C = C.astype(fdtype)
+
+    def local(diag_l, lower_l, B_l, C_g):
+        # diag_l (L, W, W); rep = local macro 0, interior 1..L-1
+        L = diag_l.shape[0]
+        dt = diag_l.dtype
+        diag_i = diag_l[1:]
+        # interior couplings: K[int j+1, int j] = lower_l[1+j], j=0..L-3
+        lower_i = jnp.concatenate(
+            [lower_l[1:L - 1], jnp.zeros((1, W, W), dt)], axis=0)
+        # extended border columns: [global b | own rep | next rep]
+        own = jnp.concatenate(
+            [lower_l[0:1],                       # K[int 0, rep] = lower_l[0]
+             jnp.zeros((L - 2, W, W), dt)], axis=0)
+        nxt = jnp.concatenate(
+            [jnp.zeros((L - 2, W, W), dt),
+             lower_l[L - 1:L].transpose(0, 2, 1)], axis=0)
+        B_ext = jnp.concatenate([B_l[1:], own, nxt], axis=2)
+        C0 = jnp.zeros((bext, bext), dt)
+        C0 = C0.at[b:b + W, b:b + W].set(diag_l[0])
+        C0 = C0.at[b:b + W, :b].set(B_l[0])
+        C0 = C0.at[:b, b:b + W].set(B_l[0].T)
+        fac_loc, neigs_loc = bcr_factor(diag_i, lower_i, B_ext, C0,
+                                        invert_border=False)
+        Cs = fac_loc.pop("C_schur")
+        # exchange border Schur complements (the only inter-chip traffic)
+        Cs_all = jax.lax.all_gather(Cs, axis)           # (D, bext, bext)
+        neigs = jax.lax.psum(neigs_loc, axis)
+        # reduced chain over the D representatives (+ global border)
+        # rep g also receives shard g-1's (next-rep x next-rep / border)
+        # Schur updates
+        shift = jnp.concatenate(
+            [jnp.zeros((1, W, W + b), dt),
+             jnp.concatenate([Cs_all[:-1, b + W:, b + W:],
+                              Cs_all[:-1, b + W:, :b]], axis=2)], axis=0)
+        redD = Cs_all[:, b:b + W, b:b + W] + shift[:, :, :W]
+        redB = Cs_all[:, b:b + W, :b] + shift[:, :, W:]
+        redL = Cs_all[:, b + W:, b:b + W]
+        redC = C_g + Cs_all[:, :b, :b].sum(0)
+        fac_red, neigs_red = bcr_factor(redD, redL, redB, redC)
+        neigs = neigs + neigs_red
+        # leading singleton axis so every per-shard leaf shards uniformly
+        fac_loc = jax.tree.map(lambda t: t[None], fac_loc)
+        return fac_loc, fac_red, neigs[None]
+
+    spec_l = P(axis)
+    fac_loc, fac_red, neigs = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_l, spec_l, spec_l, P()),
+        out_specs=(spec_l, P(), P(axis)),
+        check_vma=False,
+    )(diag, lower, B, C)
+    return dict(loc=fac_loc, red=fac_red, W=W, b=b,
+                b_orig=b_orig), neigs[0]
+
+
+def sharded_solve(fac, rhs_blocks, rhs_border, mesh, axis="seg"):
+    """Solve with a sharded_factor result.
+
+    rhs_blocks (D*L, W) padded; rhs_border (b,) replicated."""
+    W, b = fac["W"], fac["b"]
+    if fac["b_orig"] == 0:
+        rhs_border = jnp.zeros((1,), rhs_blocks.dtype)
+    D = mesh.shape[axis]
+
+    def local(fac_loc, fac_red, r_l, rb):
+        fac_loc = jax.tree.map(lambda t: t[0], fac_loc)
+        dt = fac_loc["D0inv"].dtype
+        g = jax.lax.axis_index(axis)
+        r_int = r_l[1:].astype(dt)
+        rb_ext0 = jnp.concatenate(
+            [jnp.zeros((b,), dt), r_l[0].astype(dt), jnp.zeros((W,), dt)])
+        stack, r_root, rb_red = bcr_reduce_rhs(fac_loc, r_int, rb_ext0)
+        all_red = jax.lax.all_gather(rb_red, axis)      # (D, bext)
+        # red rhs for rep g: own-rep part of shard g + next-rep part of
+        # shard g-1; border parts sum once over shards
+        shift = jnp.concatenate(
+            [jnp.zeros((1, W), dt), all_red[:-1, b + W:b + 2 * W]], axis=0)
+        red_r = all_red[:, b:b + W] + shift
+        red_rb = rb.astype(dt) + all_red[:, :b].sum(0)
+        y_red, z = bcr_solve(fac_red, red_r, red_rb)
+        y_red_pad = jnp.concatenate(
+            [y_red, jnp.zeros((1, W), dt)], axis=0)
+        z0 = jnp.zeros((), g.dtype)
+        y_own = jax.lax.dynamic_slice(y_red_pad, (g, z0), (1, W))[0]
+        y_nxt = jax.lax.dynamic_slice(y_red_pad, (g + 1, z0), (1, W))[0]
+        z_ext = jnp.concatenate([z, y_own, y_nxt])
+        y_int = bcr_backsub(fac_loc, stack, r_root, z_ext)
+        y_l = jnp.concatenate([y_own[None], y_int], axis=0)
+        return y_l, z[None]
+
+    spec_l = P(axis)
+    y, z = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_l, P(), spec_l, P()),
+        out_specs=(spec_l, P(axis)),
+        check_vma=False,
+    )(fac["loc"], fac["red"], rhs_blocks, rhs_border)
+    z = z[0]
+    if fac["b_orig"] == 0:
+        z = z[:0]
+    return y, z

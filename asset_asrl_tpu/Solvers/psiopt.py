@@ -126,6 +126,15 @@ class PSIOPT:
         self.WideConsole = False
         self.ReturnBest = False
         self.BestCriteria = "ECons"
+        # Use the fused device-resident while_loop solver for BlockKKT
+        # backends (one dispatch per solve); the host loop remains for the
+        # dense backend and for debugging.
+        self.UseFused = True
+        # Reuse multipliers/slacks from the previous solve as the starting
+        # point (reference collectPostOptInfo warm start,
+        # `ODEPhaseBase.cpp:1606-1609`).
+        self.WarmStart = False
+        self.LastSlacks = None
 
         # --- outputs (reference timing/statistics surface) ---
         self.LastObjVal = 0.0
@@ -254,18 +263,86 @@ class PSIOPT:
         self.LastIterNum = 0
         x, s, lamE, lamI = self._init_state(np.asarray(x0, np.float64),
                                             self.initMu)
+        if self.WarmStart and self.LastEqLmults is not None \
+                and len(self.LastEqLmults) == self.nlp.numEq \
+                and self.LastIqLmults is not None \
+                and len(self.LastIqLmults) == self.nlp.numIq:
+            lamE = jnp.asarray(self.LastEqLmults)
+            lamI = jnp.maximum(jnp.asarray(self.LastIqLmults), 1e-8) \
+                if self.nlp.numIq else lamI
+            if self.LastSlacks is not None \
+                    and len(self.LastSlacks) == self.nlp.numIq \
+                    and self.nlp.numIq:
+                s = jnp.maximum(jnp.asarray(self.LastSlacks),
+                                self.BoundPush * 1e-3)
+        from .kkt_block import BlockKKT
+        use_fused = self.UseFused and isinstance(self.kkt, BlockKKT)
         flag = ConvergenceFlags.NOTCONVERGED
         for (mode,) in schedule:
-            x, s, lamE, lamI, flag = self._alg_impl(mode, x, s, lamE, lamI)
+            if use_fused:
+                x, s, lamE, lamI, flag = self._alg_fused(mode, x, s,
+                                                         lamE, lamI)
+            else:
+                x, s, lamE, lamI, flag = self._alg_impl(mode, x, s,
+                                                        lamE, lamI)
             if flag == ConvergenceFlags.DIVERGING:
                 break
         self.ConvergeFlag = flag
         self.LastTotalTime = time.perf_counter() - t0
         self.LastEqLmults = np.asarray(lamE)
         self.LastIqLmults = np.asarray(lamI)
+        self.LastSlacks = np.asarray(s)
         obj, _, _ = self.nlp.eval_obj_cons(x)
         self.LastObjVal = float(obj)
         return np.asarray(x)
+
+    # ------------------------------------------------- fused device solver
+    def _opts_snapshot(self):
+        keys = ("MaxIters", "MaxAccIters", "MaxLSIters", "MaxRefac",
+                "KKTtol", "EContol", "IContol", "Bartol",
+                "AccKKTtol", "AccEContol", "AccIContol", "AccBartol",
+                "DivKKTtol", "DivEContol", "DivIContol", "DivBartol",
+                "BoundFraction", "NegSlackReset", "deltaH", "incrH",
+                "decrH", "initMu", "MaxMu", "MinMu", "ObjScale",
+                "alphaRed", "OptBarMode", "SoeBarMode", "OptLSMode",
+                "SoeLSMode", "FastFactorAlg", "gammaE", "gammaI",
+                "BestCriteria")
+        return {k: getattr(self, k) for k in keys}
+
+    def _alg_fused(self, mode, x, s, lamE, lamI):
+        """One mode pass through the fused whole-solve jit (one dispatch)."""
+        from .fused import build_fused_alg
+        opts = self._opts_snapshot()
+        key = (mode, tuple(sorted(opts.items())), id(self.kkt))
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None or cache[0] != key:
+            fn = build_fused_alg(self.kkt, opts, mode)
+            self._fused_cache = (key, fn)
+        fn = self._fused_cache[1]
+        tq0 = time.perf_counter()
+        (x, s, lamE, lamI, Mu, flag, niters, infos,
+         bx, bs_, blE, blI) = fn(x, s, lamE, lamI,
+                                 jnp.asarray(self.initMu))
+        flag = int(flag)
+        niters = int(niters)
+        self.LastKKTTime += time.perf_counter() - tq0
+        infos = np.asarray(infos[:max(niters, 1)])
+        if self.ReturnBest and flag not in (ConvergenceFlags.CONVERGED,
+                                            ConvergenceFlags.ACCEPTABLE):
+            x, s, lamE, lamI = bx, bs_, blE, blI
+        self.LastIterNum += niters
+        if self.PrintLevel == 0:
+            for i, row in enumerate(infos):
+                print(f"  [{mode}] it {i:3d} obj {row[0]:+.6e} "
+                      f"kkt {row[1]:8.2e} econ {row[2]:8.2e} "
+                      f"icon {row[3]:8.2e} barr {row[4]:8.2e} "
+                      f"mu {row[5]:8.2e} a {row[6]:5.3f} f {int(row[7])}")
+        if self.PrintLevel <= 1:
+            r = infos[-1]
+            print(f"PSIOPT [{mode}] {ConvergenceFlags._names[flag]} in "
+                  f"{len(infos)} iters: obj {r[0]:+.8e} kkt {r[1]:.2e} "
+                  f"econ {r[2]:.2e} icon {r[3]:.2e} barr {r[4]:.2e}")
+        return x, s, lamE, lamI, flag
 
     # ------------------------------------------------------------- main loop
     def _alg_impl(self, mode, x, s, lamE, lamI):

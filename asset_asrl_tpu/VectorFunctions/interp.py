@@ -40,18 +40,29 @@ def _axis_weights_cubic(ts, x):
     h10 = s ** 3 - 2 * s ** 2 + s
     h01 = -2 * s ** 3 + 3 * s ** 2
     h11 = s ** 3 - s ** 2
-    # Catmull-Rom tangents on non-uniform knots (central differences,
-    # one-sided at the ends) expressed as weights on f[j-1..j+2]
+    # Catmull-Rom tangents on non-uniform knots: second-order weighted
+    # central differences (exact for quadratics on any spacing),
+    # one-sided at the ends; expressed as weights on f[j-1..j+2]
     jm = jnp.clip(j - 1, 0, n - 1)
     jp2 = jnp.clip(j + 2, 0, n - 1)
     tm = ts[jm]
     tp2 = ts[jp2]
-    m0_w = jnp.where(j > 0,
-                     jnp.array([-1.0, 0.0, 1.0]) / (t1 - tm),
-                     jnp.array([0.0, -1.0, 1.0]) / h)
-    m1_w = jnp.where(j < n - 2,
-                     jnp.array([-1.0, 0.0, 1.0]) / (tp2 - t0),
-                     jnp.array([-1.0, 1.0, 0.0]) / h)
+    h0 = t0 - tm          # left gap at t0 (0 at the boundary)
+    h0s = jnp.where(h0 > 0, h0, 1.0)
+    m0_w = jnp.where(
+        j > 0,
+        jnp.stack([-h / ((h0s + h) * h0s),
+                   h / ((h0s + h) * h0s) - h0 / ((h0s + h) * h),
+                   h0 / ((h0s + h) * h)]),
+        jnp.array([0.0, -1.0, 1.0]) / h)
+    g1 = tp2 - t1         # right gap at t1 (0 at the boundary)
+    g1s = jnp.where(g1 > 0, g1, 1.0)
+    m1_w = jnp.where(
+        j < n - 2,
+        jnp.stack([-g1 / ((h + g1s) * h),
+                   g1 / ((h + g1s) * h) - h / ((h + g1s) * g1s),
+                   h / ((h + g1s) * g1s)]),
+        jnp.array([-1.0, 1.0, 0.0]) / h)
     # weights on [f(jm), f(j), f(j+1), f(jp2)]
     w = jnp.zeros(4, dtype=x.dtype)
     w = w.at[1].add(h00)

@@ -11,6 +11,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA compiles for this TPU go through a
+# remote service and routinely take minutes for the fused solver graphs;
+# caching makes repeated bench/test runs start in seconds.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without the knobs
+    pass
+
 # Default floating point dtype for all solver math.
 import jax.numpy as jnp  # noqa: E402
 

@@ -1,0 +1,78 @@
+"""Segment-axis sharded KKT: substructured factor/solve must match the
+dense solve and the single-chip BCR bitwise-or-tolerance on the 8-device
+virtual CPU mesh (the NLPTest determinism analog, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from asset_asrl_tpu.Solvers.kkt_block import bcr_factor, bcr_solve
+from asset_asrl_tpu.Solvers.kkt_sharded import (pad_chain, sharded_factor,
+                                                sharded_solve)
+from tests.test_kkt_block import make_block_tridiag
+
+
+def _mesh(d=8):
+    devs = jax.devices()
+    if len(devs) < d:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    return Mesh(np.array(devs[:d]), ("seg",))
+
+
+@pytest.mark.parametrize("K,W,b", [(16, 3, 2), (33, 4, 3), (40, 5, 0),
+                                   (129, 4, 2)])
+def test_sharded_solve_matches_dense(K, W, b):
+    mesh = _mesh()
+    diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=K + W, spd=True)
+    dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
+                                  jnp.asarray(B), jnp.asarray(C), 8)
+    fac, neigs = sharded_factor(dg, lo, Bp, Cp, mesh)
+    rng = np.random.default_rng(1)
+    r = rng.normal(size=(K, W))
+    rb = rng.normal(size=(b,))
+    rp = jnp.asarray(np.concatenate(
+        [r, np.zeros((8 * L - K, W))], axis=0))
+    y, z = sharded_solve(fac, rp, jnp.asarray(rb), mesh)
+    sol = np.linalg.solve(A, np.concatenate([r.ravel(), rb]))
+    got = np.concatenate([np.asarray(y)[:K].ravel(), np.asarray(z)])
+    assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
+
+
+@pytest.mark.parametrize("K,W,b", [(24, 3, 2), (65, 4, 3)])
+def test_sharded_inertia_matches_dense(K, W, b):
+    mesh = _mesh()
+    for seed in range(3):
+        diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=seed,
+                                                  spd=False)
+        dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
+                                      jnp.asarray(B), jnp.asarray(C), 8)
+        fac, neigs = sharded_factor(dg, lo, Bp, Cp, mesh)
+        w = np.linalg.eigvalsh(A)
+        # padded identity blocks contribute only positive pivots
+        assert int(neigs) == int(np.sum(w < 0)), seed
+
+
+def test_sharded_matches_single_chip():
+    """1-device BCR and 8-device substructuring agree to fp tolerance —
+    the sharding determinism test (reference NLPTest thread-count
+    equivalence, `NonLinearProgram.h:481`)."""
+    mesh = _mesh()
+    K, W, b = 50, 4, 2
+    diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=3, spd=True)
+    fac1, n1 = bcr_factor(jnp.asarray(diag), jnp.asarray(lower),
+                          jnp.asarray(B), jnp.asarray(C))
+    rng = np.random.default_rng(2)
+    r = rng.normal(size=(K, W))
+    rb = rng.normal(size=(b,))
+    y1, z1 = bcr_solve(fac1, jnp.asarray(r), jnp.asarray(rb))
+
+    dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
+                                  jnp.asarray(B), jnp.asarray(C), 8)
+    fac8, n8 = sharded_factor(dg, lo, Bp, Cp, mesh)
+    rp = jnp.asarray(np.concatenate([r, np.zeros((8 * L - K, W))]))
+    y8, z8 = sharded_solve(fac8, rp, jnp.asarray(rb), mesh)
+    assert int(n1) == int(n8)
+    assert np.allclose(np.asarray(y8)[:K], np.asarray(y1), atol=1e-9)
+    assert np.allclose(np.asarray(z8), np.asarray(z1), atol=1e-9)
