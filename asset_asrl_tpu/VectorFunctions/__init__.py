@@ -17,3 +17,4 @@ from .pyfunc import PyVectorFunction, PyScalarFunction
 # ASSET alias: vf.Stack == vf.stack
 Stack = stack
 from .interp import InterpTable1D, InterpTable2D, InterpTable3D, InterpTable4D
+from .rootfinder import ScalarRootFinder, RootFinder
