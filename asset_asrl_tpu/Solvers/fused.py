@@ -115,23 +115,36 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
     def factor_ladder(blocks, Hpert0, first_pert, zfac):
         """Inertia-correction ladder (reference factor_impl + alg_impl
         retry loop, `PSIOPT.cpp:422`): probe at delta=0 when allowed, then
-        climb deltas until inertia is correct."""
+        climb deltas until inertia is correct.  Structured as a forced-entry
+        while_loop so the factorization graph (the largest subgraph in the
+        whole solve — Pallas inverse kernels per BCR level) is instantiated
+        exactly once."""
         d0 = jnp.where(zfac, 0.0, Hpert0)
-        fac0, neigs0 = kkt._factor_blocks_impl(blocks, d0, gammaE)
         incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
+        dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
+
+        fac_shapes, _ = jax.eval_shape(
+            lambda bl, d: kkt._factor_blocks_impl(bl, d, gammaE),
+            blocks, d0)
+        fac_init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                fac_shapes)
 
         def cond(c):
-            fac, neigs, dused, dnext, k, _ = c
-            return (neigs > mE) & (k < MaxRefac)
+            fac, neigs, dused, dnext, k, started = c
+            return (~started) | ((neigs > mE) & (k < MaxRefac))
 
         def body(c):
-            fac, neigs, dused, dnext, k, incr = c
-            fac2, neigs2 = kkt._factor_blocks_impl(blocks, dnext, gammaE)
-            return (fac2, neigs2, dnext, dnext * incr, k + 1,
-                    jnp.asarray(incrH, DEFAULT_DTYPE))
+            fac, neigs, dused, dnext, k, started = c
+            d = jnp.where(started, dnext, d0)
+            fac2, neigs2 = kkt._factor_blocks_impl(blocks, d, gammaE)
+            neigs2 = jnp.asarray(neigs2, jnp.int32)
+            dn2 = jnp.where(started, dnext * incrH, dnext0)
+            k2 = jnp.where(started, k + 1, k)
+            return (fac2, neigs2, d, dn2, k2, jnp.ones((), bool))
 
-        dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
-        init = (fac0, neigs0, d0, dnext0, jnp.zeros((), jnp.int32), incr0)
+        init = (fac_init, jnp.asarray(mE + 1, jnp.int32),
+                jnp.zeros((), DEFAULT_DTYPE), d0,
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool))
         fac, neigs, dused, _, k, _ = jax.lax.while_loop(cond, body, init)
         return fac, neigs, dused, k
 

@@ -369,6 +369,10 @@ FACTOR_DTYPE = "auto"
 # Iterative-refinement rounds per solve when factoring in f32.
 REFINE_STEPS = 3
 
+# Use the fused Pallas Gauss-Jordan kernel for f32 block inverses on TPU
+# (False falls back to the pure-XLA elimination — diagnostic kill switch).
+USE_PALLAS = True
+
 
 def _factor_dtype():
     mode = FACTOR_DTYPE
@@ -474,8 +478,8 @@ def _inv_sym(D):
         # blocks (the border Schur, deep BCR levels) stay on the XLA path:
         # Mosaic mislowers the masked iota/reduce pattern at lane widths
         # below a tile, corrupting the pivot signs that drive the ladder.
-        if jax.default_backend() == "tpu" and D.shape[0] * D.shape[1] >= 64 \
-                and D.shape[1] >= 8:
+        if USE_PALLAS and jax.default_backend() == "tpu" \
+                and D.shape[0] * D.shape[1] >= 64 and D.shape[1] >= 8:
             from .pallas_kernels import batched_gj_inverse
             Dinv, pivs = batched_gj_inverse(D)
         else:
@@ -499,6 +503,50 @@ def _inv_sym(D):
     neg = jnp.sum((pivs < 0) | bad)
     Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
+
+
+def _ruiz_equilibrate(diag, lower, Bmat, C, iters=2):
+    """Symmetric Ruiz equilibration of the block-tridiagonal+border system.
+
+    Collocation KKT rows scale like 1/h ~ K (defect jacobians), so the
+    condition number grows with mesh size and an f32 factorization loses
+    convergence beyond a few hundred segments.  Scaling S A S with
+    s_i = prod 1/sqrt(max|row_i|) restores size-independent conditioning
+    before the f32 cast; the congruence preserves inertia, so the pivot
+    counts driving the perturbation ladder are unchanged (the reference
+    enables the analogous Pardiso matching/scaling knobs,
+    `src/Solvers/PSIOPT.h:143-151`).
+
+    Returns (diag', lower', B', C', s (K,W), sb (b,)).
+    """
+    K, W, _ = diag.shape
+    b = C.shape[0]
+    # entry K-1 of lower is unused: mask it out of row maxima and scaling
+    lmask = (jnp.arange(K) < K - 1)[:, None, None]
+    lower = lower * lmask
+    s = jnp.ones((K, W), diag.dtype)
+    sb = jnp.ones((b,), diag.dtype)
+    d, l, B, Cs = diag, lower, Bmat, C
+    for _ in range(iters):
+        rmax = jnp.max(jnp.abs(d), axis=2)                    # (K,W)
+        rmax = jnp.maximum(rmax, jnp.max(jnp.abs(l), axis=1))  # (k,k+1) cols
+        rmax = jnp.maximum(
+            rmax, jnp.pad(jnp.max(jnp.abs(l), axis=2)[:-1], ((1, 0), (0, 0))))
+        if b > 0:
+            rmax = jnp.maximum(rmax, jnp.max(jnp.abs(B), axis=2))
+            bmax = jnp.maximum(jnp.max(jnp.abs(B), axis=(0, 1)),
+                               jnp.max(jnp.abs(Cs), axis=1))
+            rb = jnp.where(bmax > 0, 1.0 / jnp.sqrt(bmax), 1.0)
+            sb = sb * rb
+        r = jnp.where(rmax > 0, 1.0 / jnp.sqrt(rmax), 1.0)
+        s = s * r
+        d = s[:, :, None] * diag * s[:, None, :]
+        l = jnp.pad(s[1:, :, None], ((0, 1), (0, 0), (0, 0)),
+                    constant_values=1.0) * lower * s[:, None, :]
+        if b > 0:
+            B = s[:, :, None] * Bmat * sb[None, None, :]
+            Cs = sb[:, None] * C * sb[None, :]
+    return d, l, B, Cs, s, sb
 
 
 def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None,
@@ -737,11 +785,17 @@ class BlockKKT:
             x0 = np.asarray(x0, np.float64)
 
         def probe(f):
-            # jit per family: one local-CPU compile instead of op-by-op
-            # eager dispatch (which would round-trip a remote accelerator)
-            full = jax.jit(_family_full(f.fun))
+            # Jacobian-only probing: compiling the family *hessian* just for
+            # sparsity costs minutes of XLA compile for table/trig-heavy
+            # dynamics.  Hessian sparsity is inferred instead: H = sum_k
+            # lam_k grad^2 f_k can couple (i,j) only if some row k touches
+            # both i and j, and only if at least one of the two jacobian
+            # columns is non-constant across probe points (a linear column
+            # has identically zero second derivatives).  Conservative in the
+            # same sense as the value probing itself.
+            valjac = jax.jit(_family_valjac(f.fun))
             jac_nz = np.zeros((f.nout, f.nin), bool)
-            hess_nz = np.zeros((f.nin, f.nin), bool)
+            jxs = []
             for k in range(2):
                 if x0 is not None:
                     base = x0[f.Vidx]
@@ -752,14 +806,21 @@ class BlockKKT:
                 else:
                     xg = jnp.asarray(rng.normal(size=(f.napps, f.nin)) * 0.7
                                      + 0.3)
-                lam = jnp.asarray(rng.normal(size=(f.napps, f.nout)) + 2.0)
-                fx, jx, hx = full(xg, jnp.asarray(f.consts), lam)
+                fx, jx = valjac(xg, jnp.asarray(f.consts))
                 jxa = np.asarray(jx)
-                hxa = np.asarray(hx)
+                jxs.append(jxa)
                 jac_nz |= np.nanmax(np.abs(jxa), axis=0) > 1e-250
                 jac_nz |= ~np.isfinite(jxa).all(axis=0)
-                hess_nz |= np.nanmax(np.abs(hxa), axis=0) > 1e-250
-                hess_nz |= ~np.isfinite(hxa).all(axis=0)
+            with np.errstate(invalid="ignore"):
+                nonconst = (np.nanmax(np.abs(jxs[0] - jxs[1]), axis=0)
+                            > 1e-250).any(axis=0)
+            nonconst |= ~np.isfinite(jxs[0]).all(axis=(0, 1))
+            nonconst |= ~np.isfinite(jxs[1]).all(axis=(0, 1))
+            shared_row = np.zeros((f.nin, f.nin), bool)
+            for k in range(f.nout):
+                cols = jac_nz[k]
+                shared_row |= cols[:, None] & cols[None, :]
+            hess_nz = shared_row & (nonconst[:, None] | nonconst[None, :])
             hess_nz |= hess_nz.T
             return jac_nz, hess_nz
 
@@ -1074,12 +1135,18 @@ class BlockKKT:
         C = C + jnp.where(self._c_sign > 0, delta,
                           jnp.where(self._c_sign < 0, -gammaE, 0.0))
         fdtype = _factor_dtype()
-        fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
-                                fdtype=fdtype)
         if fdtype != DEFAULT_DTYPE:
+            # equilibrate in f64 before the f32 cast (see _ruiz_equilibrate)
+            dq, lq, Bq, Cq, s, sbrd = _ruiz_equilibrate(diag, lower, B, C)
+            fac, neigs = bcr_factor(dq, lq, Bq, Cq, self.nlevels,
+                                    fdtype=fdtype)
             # keep the exact f64 blocks for iterative refinement at solve
             # time (Pardiso QPRefSteps analog, `PSIOPT.h:146`)
             fac["blocks64"] = (diag, lower, B, C)
+            fac["scale"] = (s, sbrd)
+        else:
+            fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
+                                    fdtype=fdtype)
         return fac, neigs
 
     def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
@@ -1126,30 +1193,79 @@ class BlockKKT:
                     outb = z
                 return out, outb
 
-            # Safeguarded iterative refinement: when the f32 factor is too
-            # inaccurate (extreme perturbation ladder deltas), plain
-            # refinement diverges geometrically; keep the best iterate by
-            # residual norm and freeze once it stops improving (Pardiso
-            # QPRefSteps behaves the same way, `PSIOPT.h:146`).
-            y = jnp.zeros((K, W), DEFAULT_DTYPE)
-            z = jnp.zeros((b,), DEFAULT_DTYPE)
-            ry, rz = rblk, rbrd
-            best_norm = jnp.asarray(jnp.inf, DEFAULT_DTYPE)
-            for _ in range(REFINE_STEPS + 1):
-                dy, dz = bcr_solve(fac, ry.astype(fdt), rz.astype(fdt),
+            # Krylov-accelerated refinement (FGMRES(m), right-preconditioned
+            # by the f32 factor of the Ruiz-equilibrated system): plain
+            # Richardson refinement stalls once the f32 factor's contraction
+            # ratio nears 1 (late-IPM barrier conditioning), while GMRES
+            # still converges on the clustered preconditioned spectrum.
+            # This replaces Pardiso's QPRefSteps refinement (`PSIOPT.h:146`)
+            # with the TPU-appropriate tool: the m matvecs are O(K W^2) f64
+            # elementwise work, tiny next to the O(K W^3) f32 factor.
+            sK, sbrd = fac["scale"]
+            m = REFINE_STEPS + 2
+
+            def precond(ry, rz):
+                dy, dz = bcr_solve(fac, (sK * ry).astype(fdt),
+                                   (sbrd * rz).astype(fdt),
                                    self.nlevels)
-                y2 = y + dy.astype(DEFAULT_DTYPE)
-                z2 = z + dz.astype(DEFAULT_DTYPE)
-                my, mz = matvec(y2, z2)
-                ry2 = rblk - my
-                rz2 = rbrd - mz
-                rn = jnp.sum(ry2 * ry2) + jnp.sum(rz2 * rz2)
-                ok = jnp.isfinite(rn) & (rn < best_norm)
-                best_norm = jnp.where(ok, rn, best_norm)
-                y = jnp.where(ok, y2, y)
-                z = jnp.where(ok, z2, z)
-                ry = jnp.where(ok, ry2, ry)
-                rz = jnp.where(ok, rz2, rz)
+                return sK * dy.astype(DEFAULT_DTYPE), \
+                    sbrd * dz.astype(DEFAULT_DTYPE)
+
+            def dot(ay, az, by_, bz):
+                return jnp.sum(ay * by_) + jnp.sum(az * bz)
+
+            beta = jnp.sqrt(dot(rblk, rbrd, rblk, rbrd))
+            bsafe = jnp.where(beta > 0, beta, 1.0)
+            Vy = jnp.zeros((m + 1, K, W), DEFAULT_DTYPE).at[0].set(
+                rblk / bsafe)
+            Vz = jnp.zeros((m + 1, b), DEFAULT_DTYPE).at[0].set(rbrd / bsafe)
+            Zy = jnp.zeros((m, K, W), DEFAULT_DTYPE)
+            Zz = jnp.zeros((m, b), DEFAULT_DTYPE)
+            H = jnp.zeros((m + 1, m), DEFAULT_DTYPE)
+            rows = jnp.arange(m + 1)
+
+            def gmres_step(j, carry):
+                # fori body so the preconditioner sweep is instantiated once
+                # in the graph (compile time), not m times
+                Vy, Vz, Zy, Zz, H = carry
+                zy, zz = precond(Vy[j], Vz[j])
+                Zy = jax.lax.dynamic_update_index_in_dim(Zy, zy, j, 0)
+                Zz = jax.lax.dynamic_update_index_in_dim(Zz, zz, j, 0)
+                wy, wz = matvec(zy, zz)
+                # classical Gram-Schmidt with reorthogonalization (CGS2):
+                # vectorized over the basis, masked to columns <= j
+                mask = (rows <= j).astype(DEFAULT_DTYPE)
+                h1 = ((Vy * wy[None]).sum((1, 2)) +
+                      (Vz * wz[None]).sum(1)) * mask
+                wy = wy - jnp.einsum("i,ikw->kw", h1, Vy)
+                wz = wz - h1 @ Vz
+                h2 = ((Vy * wy[None]).sum((1, 2)) +
+                      (Vz * wz[None]).sum(1)) * mask
+                wy = wy - jnp.einsum("i,ikw->kw", h2, Vy)
+                wz = wz - h2 @ Vz
+                hcol = h1 + h2
+                hj1 = jnp.sqrt(dot(wy, wz, wy, wz))
+                hcol = hcol + hj1 * (rows == j + 1)
+                H = jax.lax.dynamic_update_slice(
+                    H, hcol[:, None], (0, j))
+                hsafe = jnp.where(hj1 > 0, hj1, 1.0)
+                Vy = jax.lax.dynamic_update_index_in_dim(
+                    Vy, wy / hsafe, j + 1, 0)
+                Vz = jax.lax.dynamic_update_index_in_dim(
+                    Vz, wz / hsafe, j + 1, 0)
+                return Vy, Vz, Zy, Zz, H
+
+            Vy, Vz, Zy, Zz, H = jax.lax.fori_loop(
+                0, m, gmres_step, (Vy, Vz, Zy, Zz, H))
+            e1 = jnp.zeros((m + 1,), DEFAULT_DTYPE).at[0].set(beta)
+            # least squares via regularized normal equations with the
+            # portable GJ inverse (f64 LAPACK custom calls don't lower on
+            # TPU); H is (m+1, m) with m ~ 5 so conditioning is benign
+            G = H.T @ H + 1e-30 * jnp.eye(m, dtype=DEFAULT_DTYPE)
+            coef = _inv_gj(G[None])[0] @ (H.T @ e1)
+            coef = jnp.where(jnp.isfinite(coef), coef, 0.0)
+            y = jnp.einsum("j,jkw->kw", coef, Zy)
+            z = coef @ Zz
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]

@@ -42,6 +42,42 @@ def _is_numericlike(v):
     return isinstance(v, (numbers.Number, np.ndarray, jnp.ndarray, list, tuple, range))
 
 
+# Trace-time common-subexpression cache.  Expression composition builds
+# Python closure trees; a subexpression reused k times (e.g. Mach number
+# feeding four aero tables in MinimumTimeToClimb) would be re-traced k times
+# per enclosing node — exponential in expression depth (the reference's
+# expression templates share nodes by reference and don't pay this;
+# `DenseFunctionBase.h:111-150`).  Memoizing each node's traced output per
+# input object during one root trace turns the tree back into the DAG the
+# user wrote.  The cache lives only for the duration of the outermost node
+# call (depth counter), so no jax tracers leak across traces; cached values
+# keep their input alive, so id() reuse cannot alias keys.
+_TRACE_STATE = {"depth": 0, "cache": None}
+
+
+def _memoized(node, raw):
+    def wrapped(x):
+        st = _TRACE_STATE
+        root = st["depth"] == 0
+        if root:
+            st["cache"] = {}
+        st["depth"] += 1
+        try:
+            cache = st["cache"]
+            key = (id(node), id(x))
+            hit = cache.get(key)
+            if hit is not None and hit[0] is x:
+                return hit[1]
+            out = raw(x)
+            cache[key] = (x, out)
+            return out
+        finally:
+            st["depth"] -= 1
+            if root:
+                st["cache"] = None
+    return wrapped
+
+
 def _const_array(v):
     a = jnp.atleast_1d(jnp.asarray(v, dtype=DEFAULT_DTYPE))
     if a.ndim != 1:
@@ -65,7 +101,7 @@ class VectorFunction:
     """A differentiable map R^IRows -> R^ORows built from a jnp closure."""
 
     def __init__(self, fn, irows, orows, name="VectorFunction"):
-        self._fn = fn
+        self._fn = _memoized(self, fn)
         self._ir = int(irows)
         self._orr = int(orows)
         self._name = name

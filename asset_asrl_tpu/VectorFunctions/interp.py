@@ -176,6 +176,11 @@ def InterpTable1D(ts, vals, kind="cubic", axis=0):
 
 
 def InterpTable2D(xs, ys, data, kind="cubic"):
+    # reference convention (`InterpTable2D.h:72-75`): data rows = ys,
+    # cols = xs (matrix/meshgrid layout); internally we store x-major
+    data = np.asarray(data, dtype=np.float64)
+    if data.shape == (len(ys), len(xs)):
+        data = data.T
     return _InterpTableND([xs, ys], data, kind)
 
 
