@@ -358,13 +358,14 @@ def _ldl_pivots(D):
 # "auto" picks by backend at trace time.
 INV_MODE = "auto"
 
-# Precision of the BCR factorization itself.  "f32" runs every level's
-# inverses and Schur-update matmuls in float32 (MXU-native; f64 matmuls are
-# software-emulated on TPU and ~20x slower) and recovers full f64 accuracy
-# with iterative refinement against the stored f64 blocks at solve time —
-# the TPU analog of Pardiso's QPRefSteps knob (`src/Solvers/PSIOPT.h:146`).
-# "f64" factors in doubles (exact, the CPU default).  "auto": f32 on TPU.
-FACTOR_DTYPE = "auto"
+# Precision of the BCR factorization.  Default "f64" everywhere: the BCR at
+# optimal-control block sizes (W ~ 16-32) is HBM-bandwidth-bound, not
+# MXU-bound — measured on v5e at K=5000/W=24, the exact-f64 elementwise-GJ
+# factor costs 0.31 ms vs 0.19-0.33 ms for the f32 paths, i.e. the f32
+# factorization buys NOTHING while losing the late-IPM conditioning race
+# (kappa ~ 1/gamma ~ 1e10 >> 1/eps_f32).  The f32+Ruiz+FGMRES-refinement
+# path is kept selectable ("f32") for experimentation only.
+FACTOR_DTYPE = "f64"
 
 # Iterative-refinement rounds per solve when factoring in f32.
 REFINE_STEPS = 3
@@ -377,7 +378,7 @@ USE_PALLAS = True
 def _factor_dtype():
     mode = FACTOR_DTYPE
     if mode == "auto":
-        mode = "f64" if jax.default_backend() == "cpu" else "f32"
+        mode = "f64"
     return jnp.float32 if mode == "f32" else DEFAULT_DTYPE
 
 
@@ -485,15 +486,14 @@ def _inv_sym(D):
         else:
             Dinv, pivs = _inv_gj_pivots(D)
     else:
+        # exact f64 on every backend: one unpivoted GJ sweep yields the
+        # inverse AND the pivot sequence (= LDL^T pivots, whose signs give
+        # the inertia).  W-step fori_loop of (K,W) rank-1 updates — pure
+        # VPU elementwise work, bandwidth-bound, no LAPACK custom calls
+        # (TPU has no f64 LU) and no batched dot_general (mislowered at
+        # these shapes).
         mode = INV_MODE
-        if mode == "auto":
-            mode = "f64" if jax.default_backend() == "cpu" else "pallas"
-        if mode == "pallas":
-            from .pallas_kernels import batched_gj_inverse
-            X32, pivs = batched_gj_inverse(D)
-            Dinv = _newton_refine(D, X32)
-            pivs = jnp.asarray(pivs, DEFAULT_DTYPE)
-        elif mode == "mixed":
+        if mode == "mixed":
             pivs = _ldl_pivots(D)
             Dinv = _inv_newton(D)
         else:
@@ -641,15 +641,9 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None,
         return dict(levels=levels, D0inv=D0inv, B0=B[0],
                     C_schur=C_schur), neigs
     if b > 0:
-        if C_schur.dtype == jnp.float32:
-            Cinv1, negC = _inv_sym(C_schur[None])
-            neigs = neigs + negC
-            Cinv = Cinv1[0]
-        else:
-            pivs = _ldl_pivots(C_schur[None])[0]
-            bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < 1e-250)
-            neigs = neigs + jnp.sum((pivs < 0) | bad)
-            Cinv = _inv_newton(C_schur[None])[0]
+        Cinv1, negC = _inv_sym(C_schur[None])
+        neigs = neigs + negC
+        Cinv = Cinv1[0]
     else:
         Cinv = jnp.zeros((0, 0), diag.dtype)
     return dict(levels=levels, D0inv=D0inv, B0=B[0], Cinv=Cinv), neigs
@@ -718,6 +712,103 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
     else:
         z = rb
     y = bcr_backsub(fac, stack, r_root, z)
+    return y, z
+
+
+def bcr_refined_solve(fac, rblk, rbrd, nlevels=None, m=None):
+    """f64 solve through an f32 factorization of the equilibrated system.
+
+    Krylov-accelerated refinement (FGMRES(m), right-preconditioned by the
+    f32 factor of the Ruiz-equilibrated system): plain Richardson
+    refinement stalls once the f32 factor's contraction ratio nears 1
+    (late-IPM barrier conditioning), while GMRES still converges on the
+    clustered preconditioned spectrum.  This replaces Pardiso's QPRefSteps
+    refinement (`src/Solvers/PSIOPT.h:146`) with the TPU-appropriate tool:
+    the m matvecs are O(K W^2) f64 elementwise work, tiny next to the
+    O(K W^3) f32 factor.
+
+    fac must hold "blocks64" (exact f64 blocks) and "scale" (Ruiz scale).
+    """
+    diag, lower, Bm, C = fac["blocks64"]
+    K, W, _ = diag.shape
+    b = C.shape[0]
+    fdt = fac["D0inv"].dtype
+    if m is None:
+        m = REFINE_STEPS + 2
+
+    def matvec(y, z):
+        out = _mv(diag, y)
+        if K > 1:
+            out = out + jnp.pad(_mv(lower[:-1], y[:-1]),
+                                ((1, 0), (0, 0)))
+            out = out + jnp.pad(_mv_t(lower[:-1], y[1:]),
+                                ((0, 1), (0, 0)))
+        if b > 0:
+            out = out + _mv_const(Bm, z)
+            outb = (Bm * y[:, :, None]).sum((0, 1)) + C @ z
+        else:
+            outb = z
+        return out, outb
+
+    sK, sbrd = fac["scale"]
+
+    def precond(ry, rz):
+        dy, dz = bcr_solve(fac, (sK * ry).astype(fdt),
+                           (sbrd * rz).astype(fdt), nlevels)
+        return sK * dy.astype(DEFAULT_DTYPE), \
+            sbrd * dz.astype(DEFAULT_DTYPE)
+
+    def dot(ay, az, by_, bz):
+        return jnp.sum(ay * by_) + jnp.sum(az * bz)
+
+    beta = jnp.sqrt(dot(rblk, rbrd, rblk, rbrd))
+    bsafe = jnp.where(beta > 0, beta, 1.0)
+    Vy = jnp.zeros((m + 1, K, W), DEFAULT_DTYPE).at[0].set(rblk / bsafe)
+    Vz = jnp.zeros((m + 1, b), DEFAULT_DTYPE).at[0].set(rbrd / bsafe)
+    Zy = jnp.zeros((m, K, W), DEFAULT_DTYPE)
+    Zz = jnp.zeros((m, b), DEFAULT_DTYPE)
+    H = jnp.zeros((m + 1, m), DEFAULT_DTYPE)
+    rows = jnp.arange(m + 1)
+
+    def gmres_step(j, carry):
+        # fori body so the preconditioner sweep is instantiated once
+        # in the graph (compile time), not m times
+        Vy, Vz, Zy, Zz, H = carry
+        zy, zz = precond(Vy[j], Vz[j])
+        Zy = jax.lax.dynamic_update_index_in_dim(Zy, zy, j, 0)
+        Zz = jax.lax.dynamic_update_index_in_dim(Zz, zz, j, 0)
+        wy, wz = matvec(zy, zz)
+        # classical Gram-Schmidt with reorthogonalization (CGS2):
+        # vectorized over the basis, masked to columns <= j
+        mask = (rows <= j).astype(DEFAULT_DTYPE)
+        h1 = ((Vy * wy[None]).sum((1, 2)) +
+              (Vz * wz[None]).sum(1)) * mask
+        wy = wy - jnp.einsum("i,ikw->kw", h1, Vy)
+        wz = wz - h1 @ Vz
+        h2 = ((Vy * wy[None]).sum((1, 2)) +
+              (Vz * wz[None]).sum(1)) * mask
+        wy = wy - jnp.einsum("i,ikw->kw", h2, Vy)
+        wz = wz - h2 @ Vz
+        hcol = h1 + h2
+        hj1 = jnp.sqrt(dot(wy, wz, wy, wz))
+        hcol = hcol + hj1 * (rows == j + 1)
+        H = jax.lax.dynamic_update_slice(H, hcol[:, None], (0, j))
+        hsafe = jnp.where(hj1 > 0, hj1, 1.0)
+        Vy = jax.lax.dynamic_update_index_in_dim(Vy, wy / hsafe, j + 1, 0)
+        Vz = jax.lax.dynamic_update_index_in_dim(Vz, wz / hsafe, j + 1, 0)
+        return Vy, Vz, Zy, Zz, H
+
+    Vy, Vz, Zy, Zz, H = jax.lax.fori_loop(
+        0, m, gmres_step, (Vy, Vz, Zy, Zz, H))
+    e1 = jnp.zeros((m + 1,), DEFAULT_DTYPE).at[0].set(beta)
+    # least squares via regularized normal equations with the
+    # portable GJ inverse (f64 LAPACK custom calls don't lower on
+    # TPU); H is (m+1, m) with m ~ 5 so conditioning is benign
+    G = H.T @ H + 1e-30 * jnp.eye(m, dtype=DEFAULT_DTYPE)
+    coef = _inv_gj(G[None])[0] @ (H.T @ e1)
+    coef = jnp.where(jnp.isfinite(coef), coef, 0.0)
+    y = jnp.einsum("j,jkw->kw", coef, Zy)
+    z = coef @ Zz
     return y, z
 
 
@@ -1105,11 +1196,13 @@ class BlockKKT:
             if fam["need_hess"]:
                 vparts.append(famvals["hx_obj"][i].ravel())
         vbuf = jnp.concatenate(vparts + [jnp.zeros((1,), DEFAULT_DTYPE)])
-        diag = vbuf[self._tdiag].sum(-1)
-        lower = vbuf[self._tlow].sum(-1)
+        # flat until after the overflow scatter: the overflow targets index
+        # the flattened K*W*W / K*W*b layouts
+        diag = vbuf[self._tdiag].sum(-1).ravel()
+        lower = vbuf[self._tlow].sum(-1).ravel()
         if b > 0:
-            B = vbuf[self._tB].sum(-1)
-            C = vbuf[self._tC].sum(-1)
+            B = vbuf[self._tB].sum(-1).ravel()
+            C = vbuf[self._tC].sum(-1).ravel()
         else:
             B = jnp.zeros((K * W * b,), DEFAULT_DTYPE)
             C = jnp.zeros((0,), DEFAULT_DTYPE)
@@ -1174,98 +1267,7 @@ class BlockKKT:
         if "blocks64" not in fac:
             y, z = bcr_solve(fac, rblk, rbrd, self.nlevels)
         else:
-            # f32 factorization: sweep in f32, refine in f64 against the
-            # exact blocks (matvec is O(K W^2) f64 — cheap vs the factor)
-            diag, lower, Bm, C = fac["blocks64"]
-            fdt = fac["D0inv"].dtype
-
-            def matvec(y, z):
-                out = _mv(diag, y)
-                if K > 1:
-                    out = out + jnp.pad(_mv(lower[:-1], y[:-1]),
-                                        ((1, 0), (0, 0)))
-                    out = out + jnp.pad(_mv_t(lower[:-1], y[1:]),
-                                        ((0, 1), (0, 0)))
-                if b > 0:
-                    out = out + _mv_const(Bm, z)
-                    outb = (Bm * y[:, :, None]).sum((0, 1)) + C @ z
-                else:
-                    outb = z
-                return out, outb
-
-            # Krylov-accelerated refinement (FGMRES(m), right-preconditioned
-            # by the f32 factor of the Ruiz-equilibrated system): plain
-            # Richardson refinement stalls once the f32 factor's contraction
-            # ratio nears 1 (late-IPM barrier conditioning), while GMRES
-            # still converges on the clustered preconditioned spectrum.
-            # This replaces Pardiso's QPRefSteps refinement (`PSIOPT.h:146`)
-            # with the TPU-appropriate tool: the m matvecs are O(K W^2) f64
-            # elementwise work, tiny next to the O(K W^3) f32 factor.
-            sK, sbrd = fac["scale"]
-            m = REFINE_STEPS + 2
-
-            def precond(ry, rz):
-                dy, dz = bcr_solve(fac, (sK * ry).astype(fdt),
-                                   (sbrd * rz).astype(fdt),
-                                   self.nlevels)
-                return sK * dy.astype(DEFAULT_DTYPE), \
-                    sbrd * dz.astype(DEFAULT_DTYPE)
-
-            def dot(ay, az, by_, bz):
-                return jnp.sum(ay * by_) + jnp.sum(az * bz)
-
-            beta = jnp.sqrt(dot(rblk, rbrd, rblk, rbrd))
-            bsafe = jnp.where(beta > 0, beta, 1.0)
-            Vy = jnp.zeros((m + 1, K, W), DEFAULT_DTYPE).at[0].set(
-                rblk / bsafe)
-            Vz = jnp.zeros((m + 1, b), DEFAULT_DTYPE).at[0].set(rbrd / bsafe)
-            Zy = jnp.zeros((m, K, W), DEFAULT_DTYPE)
-            Zz = jnp.zeros((m, b), DEFAULT_DTYPE)
-            H = jnp.zeros((m + 1, m), DEFAULT_DTYPE)
-            rows = jnp.arange(m + 1)
-
-            def gmres_step(j, carry):
-                # fori body so the preconditioner sweep is instantiated once
-                # in the graph (compile time), not m times
-                Vy, Vz, Zy, Zz, H = carry
-                zy, zz = precond(Vy[j], Vz[j])
-                Zy = jax.lax.dynamic_update_index_in_dim(Zy, zy, j, 0)
-                Zz = jax.lax.dynamic_update_index_in_dim(Zz, zz, j, 0)
-                wy, wz = matvec(zy, zz)
-                # classical Gram-Schmidt with reorthogonalization (CGS2):
-                # vectorized over the basis, masked to columns <= j
-                mask = (rows <= j).astype(DEFAULT_DTYPE)
-                h1 = ((Vy * wy[None]).sum((1, 2)) +
-                      (Vz * wz[None]).sum(1)) * mask
-                wy = wy - jnp.einsum("i,ikw->kw", h1, Vy)
-                wz = wz - h1 @ Vz
-                h2 = ((Vy * wy[None]).sum((1, 2)) +
-                      (Vz * wz[None]).sum(1)) * mask
-                wy = wy - jnp.einsum("i,ikw->kw", h2, Vy)
-                wz = wz - h2 @ Vz
-                hcol = h1 + h2
-                hj1 = jnp.sqrt(dot(wy, wz, wy, wz))
-                hcol = hcol + hj1 * (rows == j + 1)
-                H = jax.lax.dynamic_update_slice(
-                    H, hcol[:, None], (0, j))
-                hsafe = jnp.where(hj1 > 0, hj1, 1.0)
-                Vy = jax.lax.dynamic_update_index_in_dim(
-                    Vy, wy / hsafe, j + 1, 0)
-                Vz = jax.lax.dynamic_update_index_in_dim(
-                    Vz, wz / hsafe, j + 1, 0)
-                return Vy, Vz, Zy, Zz, H
-
-            Vy, Vz, Zy, Zz, H = jax.lax.fori_loop(
-                0, m, gmres_step, (Vy, Vz, Zy, Zz, H))
-            e1 = jnp.zeros((m + 1,), DEFAULT_DTYPE).at[0].set(beta)
-            # least squares via regularized normal equations with the
-            # portable GJ inverse (f64 LAPACK custom calls don't lower on
-            # TPU); H is (m+1, m) with m ~ 5 so conditioning is benign
-            G = H.T @ H + 1e-30 * jnp.eye(m, dtype=DEFAULT_DTYPE)
-            coef = _inv_gj(G[None])[0] @ (H.T @ e1)
-            coef = jnp.where(jnp.isfinite(coef), coef, 0.0)
-            y = jnp.einsum("j,jkw->kw", coef, Zy)
-            z = coef @ Zz
+            y, z = bcr_refined_solve(fac, rblk, rbrd, self.nlevels)
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]
