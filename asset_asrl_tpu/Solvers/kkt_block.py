@@ -60,54 +60,101 @@ class BlockStructure:
 
     def __init__(self, numPrimal, numEq, numIq, node_of_var,
                  eq_fams, iq_fams, obj_fams):
-        """eq_fams/iq_fams: [(Vidx, rows, colmask)], obj_fams:
-        [(Vidx, colmask)] — colmask (nin,) bool marks inputs the function
-        actually depends on (probed sparsity, the TPU analog of the
-        reference's INPUT_DOMAIN tracking in `FunctionDomains.h`)."""
+        """eq_fams/iq_fams: [(Vidx, rows, jac_cm, hess_cm)], obj_fams:
+        [(Vidx, jac_cm, hess_cm)] — (nin,) bool masks of the inputs the
+        function's Jacobian / adjoint-Hessian actually touch (probed
+        sparsity, the TPU analog of the reference's INPUT_DOMAIN tracking
+        in `FunctionDomains.h`).  For inequalities hess_cm must include
+        the slack-condensation coupling (all Jacobian-column pairs).
+
+        Far couplings do NOT force a dense fallback (the reference's
+        Pardiso handles arbitrary sparsity; our escape hatch is the dense
+        border): an application whose *Jacobian* row spans non-adjacent
+        macros puts that constraint row in the border, and an application
+        whose *Hessian* couples non-adjacent macros (nonlinear
+        front-to-back constraints, periodicity, long-range links) promotes
+        its minority variables to the border so every remaining in-band
+        entry couples adjacent macros only."""
         node_of_var = np.asarray(node_of_var, np.int64)
         self.n, self.mE, self.mI = numPrimal, numEq, numIq
         nnodes = int(node_of_var.max()) + 1
 
-        # -------- span analysis: max node window of any application --------
-        def app_spans(Vidx, colmask):
+        def app_spans(Vidx, colmask, extra_excl=None):
             nds = node_of_var[Vidx]              # (napps, nin)
             valid = (nds >= 0) & colmask[None, :]
+            if extra_excl is not None:
+                valid &= ~extra_excl[Vidx]
             lo = np.where(valid, nds, np.iinfo(np.int64).max).min(axis=1)
             hi = np.where(valid, nds, -1).max(axis=1)
             return lo, hi
 
+        # -------- macro sizing: max node window of any LOCAL application.
+        # Apps spanning more than LOCAL_THR nodes (front-to-back rows,
+        # periodicity, Accumulation-style couplings) are routed via the
+        # border instead of inflating the macro size q.
+        LOCAL_THR = max(2, nnodes // 4)
         max_span = 1
-        for Vidx, rows, colmask in eq_fams + iq_fams:
-            lo, hi = app_spans(Vidx, colmask)
+        for Vidx, rows, jcm, hcm in eq_fams + iq_fams:
+            lo, hi = app_spans(Vidx, jcm | hcm)
             if len(lo):
-                sp = int(np.max(np.where(hi >= 0, hi - lo + 1, 1)))
-                max_span = max(max_span, sp)
-        for Vidx, colmask in obj_fams:
-            lo, hi = app_spans(Vidx, colmask)
+                sp = np.where(hi >= 0, hi - lo + 1, 1)
+                sp = sp[sp <= LOCAL_THR]
+                if len(sp):
+                    max_span = max(max_span, int(sp.max()))
+        for Vidx, jcm, hcm in obj_fams:
+            lo, hi = app_spans(Vidx, hcm)
             if len(lo):
-                sp = int(np.max(np.where(hi >= 0, hi - lo + 1, 1)))
-                max_span = max(max_span, sp)
+                sp = np.where(hi >= 0, hi - lo + 1, 1)
+                sp = sp[sp <= LOCAL_THR]
+                if len(sp):
+                    max_span = max(max_span, int(sp.max()))
 
         self.q = max(1, max_span - 1)            # nodes per macro
         self.K = max(1, -(-nnodes // self.q))    # number of macros
         macro_of_node = np.minimum(np.arange(nnodes) // self.q, self.K - 1)
 
+        # -------- border promotion of far-coupled Hessian variables -------
+        # For every app whose Hessian couples non-adjacent macros, keep the
+        # adjacent macro pair holding the most of its variables and promote
+        # the rest to the border (their rows/cols land in B / C).
+        promote = np.zeros(numPrimal, bool)
+        hess_groups = [(V, h) for V, r, j, h in eq_fams + iq_fams] \
+            + [(V, h) for V, j, h in obj_fams]
+        for Vidx, hcm in hess_groups:
+            if not hcm.any() or not len(Vidx):
+                continue
+            lo, hi = app_spans(Vidx, hcm)
+            far = (hi >= 0) & (macro_of_node[np.maximum(hi, 0)]
+                               - macro_of_node[np.clip(lo, 0, nnodes - 1)]
+                               > 1)
+            for a in np.where(far)[0]:
+                cols = np.where(hcm & (node_of_var[Vidx[a]] >= 0))[0]
+                vids = Vidx[a][cols]
+                macs = macro_of_node[node_of_var[vids]]
+                # best adjacent macro pair by member count
+                cnt = np.bincount(macs, minlength=self.K)
+                pair = cnt + np.append(cnt[1:], 0)    # count in {m, m+1}
+                m0 = int(np.argmax(pair))
+                keep = (macs == m0) | (macs == m0 + 1)
+                promote[vids[~keep]] = True
+
         # -------- unknown -> (macro, slot) assignment ----------------------
         # vars first, then eq rows, macro by macro
-        var_macro = np.where(node_of_var >= 0,
+        var_macro = np.where((node_of_var >= 0) & ~promote,
                              macro_of_node[np.maximum(node_of_var, 0)], -1)
 
-        # eq row macro: middle node of the app's span (border if no nodes)
+        # eq row macro: middle node of the app's banded-jacobian span
+        # (border if no banded nodes or the span crosses >2 macros)
         row_macro = np.full(numEq, -1, np.int64)
-        for Vidx, rows, colmask in eq_fams:
-            lo, hi = app_spans(Vidx, colmask)
+        for Vidx, rows, jcm, hcm in eq_fams:
+            lo, hi = app_spans(Vidx, jcm, extra_excl=promote)
             for a in range(Vidx.shape[0]):
                 if hi[a] < 0:
-                    continue  # border row (params only)
+                    continue  # border row (params/promoted only)
                 mlo = macro_of_node[lo[a]]
                 mhi = macro_of_node[hi[a]]
                 if mhi - mlo > 1:
-                    continue  # spans too far (front+back rows): border
+                    continue  # spans too far even after promotion: border
                 row_macro[rows[a]] = mlo if (hi[a] - lo[a] == 0) else \
                     macro_of_node[(lo[a] + hi[a]) // 2]
 
@@ -928,15 +975,17 @@ class BlockKKT:
             iq_nz = [probe(f) for f in nlp.iqcons]
             obj_nz = [probe(f) for f in nlp.objectives]
 
-        def colmask(jac_nz, hess_nz):
-            return jac_nz.any(axis=0) | hess_nz.any(axis=0)
-
-        eq_fams = [(f.Vidx, rows, colmask(*nz))
-                   for f, rows, nz in zip(nlp.eqcons, nlp._eq_rows, eq_nz)]
-        iq_fams = [(f.Vidx, rows, colmask(*nz))
-                   for f, rows, nz in zip(nlp.iqcons, nlp._iq_rows, iq_nz)]
-        obj_fams = [(f.Vidx, colmask(*nz))
-                    for f, nz in zip(nlp.objectives, obj_nz)]
+        eq_fams = [(f.Vidx, rows, jnz.any(axis=0), hnz.any(axis=0))
+                   for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows,
+                                                  eq_nz)]
+        # iq Hessian coupling includes the slack condensation J^T Sigma~ J:
+        # all Jacobian-column pairs of an application couple
+        iq_fams = [(f.Vidx, rows, jnz.any(axis=0),
+                    jnz.any(axis=0) | hnz.any(axis=0))
+                   for f, rows, (jnz, hnz) in zip(nlp.iqcons, nlp._iq_rows,
+                                                  iq_nz)]
+        obj_fams = [(f.Vidx, jnz.any(axis=0), hnz.any(axis=0))
+                    for f, (jnz, hnz) in zip(nlp.objectives, obj_nz)]
         self.bs = BlockStructure(nlp.numPrimal, nlp.numEq, nlp.numIq,
                                  node_of_var, eq_fams, iq_fams, obj_fams)
         bs = self.bs

@@ -62,3 +62,52 @@ def test_bcr_inertia(K, W, b):
         w = np.linalg.eigvalsh(A)
         assert int(neigs) == int(np.sum(w < 0)), \
             f"seed {seed}: bcr {int(neigs)} vs dense {int(np.sum(w < 0))}"
+
+
+def test_nonbanded_rows_use_border_not_dense(capsys):
+    """Nonlinear front-to-back constraints must stay on the BlockKKT via
+    border promotion (reference: Pardiso handles arbitrary sparsity,
+    `src/Solvers/PardisoInterface.h`; our escape hatch is the dense
+    border).  Previously any such row raised and dropped the whole problem
+    to the O(n^3) dense backend."""
+    import asset_asrl_tpu as ast
+    from asset_asrl_tpu.Solvers.kkt_block import BlockKKT
+
+    vf = ast.VectorFunctions
+    oc = ast.OptimalControl
+
+    class Brach(oc.ODEBase):
+        def __init__(self, g):
+            XtU = oc.ODEArguments(3, 1)
+            x, y, v = XtU.XVec().tolist()
+            theta = XtU.UVar(0)
+            ode = vf.stack([vf.sin(theta) * v, -1.0 * vf.cos(theta) * v,
+                            g * vf.cos(theta)])
+            super().__init__(ode, 3, 1)
+
+    g = 9.81
+    ode = Brach(g)
+    x0, y0, v0, theta0, xf, yf, tf = 0, 10, 0, 1.0, 10, 5, 1
+    ts = np.linspace(0, tf, 50)
+    IG = [[x0 + (xf - x0) * t / tf, y0 + (yf - y0) * t / tf,
+           g * t * np.cos(theta0), t, theta0] for t in ts]
+    phase = ode.phase("LGL3", IG, 16)
+    phase.addBoundaryValue("Front", range(0, 4), [x0, y0, v0, 0])
+    phase.addLUVarBound("Path", 4, -0.1, 2.00)
+    phase.addBoundaryValue("Back", [1], [yf])
+    # NONLINEAR front-to-back coupling: |r_back - r_front|^2 = 100
+    Args = vf.Arguments
+    fb = Args(4)
+    con = (fb.segment(2, 2) - fb.segment(0, 2)).squared_norm() - 100.0
+    phase.addEqualCon("FrontandBack", con, [0, 1, 5, 6])
+    phase.addDeltaTimeObjective(1.0)
+    phase.optimizer.PrintLevel = 2
+    flag = phase.optimize()
+    out = capsys.readouterr().out
+    assert "falling back to dense" not in out
+    assert isinstance(phase.optimizer.kkt, BlockKKT)
+    assert flag == ast.Solvers.ConvergenceFlags.CONVERGED
+    # the constraint must hold at the solution
+    tr = np.asarray(phase.returnTraj())
+    d2 = (tr[-1, 0] - tr[0, 0]) ** 2 + (tr[-1, 1] - tr[0, 1]) ** 2
+    assert abs(d2 - 100.0) < 1e-6
