@@ -137,8 +137,33 @@ class OptimalControlProblem:
 
     def addLinkEqualCon(self, func, *args):
         """General link constraint over boundary regions of several phases:
-        addLinkEqualCon(func, [(phase, region), ...]) or
-        addLinkEqualCon(func, phase0, reg0, phase1, reg1, ...)."""
+
+        * addLinkEqualCon(func, [(phase, region), ...])
+        * addLinkEqualCon(func, phase0, reg0, phase1, reg1, ...)
+        * addLinkEqualCon(func, [(phase, region, XtUVars, OPVars, SPVars),
+          ...], LinkParams) — the reference's index-selected form
+          (`OptimalControlProblem.h:530-817`): the function input is the
+          concatenation of each phase tuple's selected boundary variables
+          followed by the selected link parameters.
+        """
+        if len(args) >= 1 and isinstance(args[0], (list, tuple)) and \
+                len(args[0]) and isinstance(args[0][0], (list, tuple)) and \
+                len(args[0][0]) >= 3:
+            sel = []
+            for tup in args[0]:
+                p, r = tup[0], tup[1]
+                xtuv = np.asarray(list(tup[2]), np.int64) if len(tup) > 2 \
+                    else np.zeros(0, np.int64)
+                opv = np.asarray(list(tup[3]), np.int64) if len(tup) > 3 \
+                    else np.zeros(0, np.int64)
+                spv = np.asarray(list(tup[4]), np.int64) if len(tup) > 4 \
+                    else np.zeros(0, np.int64)
+                sel.append((self._phase(p), _canon_region(r), xtuv, opv,
+                            spv))
+            lp = np.asarray(list(args[1]), np.int64) if len(args) > 1 \
+                else np.zeros(0, np.int64)
+            self._link_specs.append(("general_idx", func, sel, lp))
+            return len(self._link_specs) - 1
         if len(args) == 1 and isinstance(args[0], (list, tuple)):
             pr = [(self._phase(p), _canon_region(r)) for p, r in args[0]]
         else:
@@ -267,6 +292,40 @@ class OptimalControlProblem:
                     ia = build_inp(packa, g, 0)
                     ib = build_inp(packb, g, la)
                     return trace(jnp.concatenate([ia[vaj], ib[vbj]]))
+            nlp.addEqualCon(IndexedFunction(
+                fun, np.asarray([idx], np.int32), np.zeros((1, 1)),
+                name="link",
+                in_scales=self._Uglob[np.asarray([idx])]))
+        elif kind == "general_idx":
+            _, func, sel, lp = spec
+            trace, ir, orr = _tracefun(func)
+            idx = []
+            packs = []
+            for p, r, xtuv, opv, spv in sel:
+                pack = self._region_pack(p, offsets[self.Phases.index(p)], r)
+                packs.append((pack, len(idx), jnp.asarray(xtuv),
+                              jnp.asarray(opv), jnp.asarray(spv), p))
+                idx += pack[2]
+            lp_lo = len(idx)
+            idx += [self._lp_offset + int(k) for k in lp]
+            lpn = len(lp)
+
+            def fun(g, c):
+                parts = []
+                for pack, lo, xtuv, opv, spv, p in packs:
+                    ps, _ = self._boundary_input(pack[1], g, lo, pack[3])
+                    full = jnp.concatenate(ps)   # [x, t, u, op ++ sp]
+                    per = p.XV + 1 + p.UV
+                    if xtuv.shape[0]:
+                        parts.append(full[xtuv])
+                    if opv.shape[0]:
+                        parts.append(full[per + opv])
+                    if spv.shape[0]:
+                        parts.append(full[per + p.PV + spv])
+                if lpn:
+                    parts.append(g[lp_lo:lp_lo + lpn])
+                return trace(jnp.concatenate(parts))
+
             nlp.addEqualCon(IndexedFunction(
                 fun, np.asarray([idx], np.int32), np.zeros((1, 1)),
                 name="link",

@@ -80,14 +80,24 @@ def _tracefun(f):
 
 
 class _Spec:
-    """One user-added constraint/objective, pre-transcription."""
+    """One user-added constraint/objective, pre-transcription.
 
-    def __init__(self, kind, region, fun, nout, name):
+    `data` (optional, np (ndata,)) is runtime-updatable constant data
+    (boundary values, lock targets): it rides in the family consts, which
+    are threaded through every jitted evaluator as runtime arguments, so
+    `subVariables` can change it between solves with no retranscription and
+    no retrace (reference LockedValues / subVariables,
+    `ODEPhaseBase.cpp:95`).  A data-carrying spec's fun has signature
+    fun(full_region_input, data)."""
+
+    def __init__(self, kind, region, fun, nout, name, data=None):
         self.kind = kind          # 'eq' | 'iq' | 'obj' | 'intobj'
         self.region = region
         self.fun = fun            # fun(full_region_input (jnp,)) -> (nout,)
         self.nout = nout
         self.name = name
+        self.data = None if data is None else \
+            np.asarray(data, np.float64).ravel()
 
 
 class Phase:
@@ -123,6 +133,9 @@ class Phase:
         self._need_transcribe = True
         self._eq_mult_slices = {}
         self._defect_rows = None
+        self._locks = []            # (spec_idx, region, var index array)
+        self._struct_key = None     # last-transcription structure signature
+        self._built = None          # [(family, spec_or_None)] of last build
         if numsegs is not None:
             self.setTraj(IG, numsegs)
         elif IG is not None:
@@ -375,10 +388,11 @@ class Phase:
             rows.append(row)
         return np.asarray(rows, dtype=np.int32)
 
-    def _region_input_fun(self, user_fun, nnodes):
+    def _region_input_fun(self, user_fun, nnodes, with_data=False):
         """Wrap user_fun (input [xtu_1,...,xtu_k, op, sp]) over the gathered
         variables [nodevars..., t0, tf, op, sp] with node times affine in
-        (t0, tf)."""
+        (t0, tf).  with_data: user_fun also receives the runtime data columns
+        of the consts row (c[nnodes:])."""
         XV, UV, PV, SPV = self.XV, self.UV, self.PV, self.SPV
         m = XV + UV
 
@@ -392,24 +406,41 @@ class Phase:
                 t = t0 * (1.0 - c[j]) + tf * c[j]
                 parts.extend([x, t[None], u])
             parts.append(g[nnodes * m + 2:])   # op ++ sp
-            return jnp.atleast_1d(user_fun(jnp.concatenate(parts)))
+            inp = jnp.concatenate(parts)
+            if with_data:
+                return jnp.atleast_1d(user_fun(inp, c[nnodes:]))
+            return jnp.atleast_1d(user_fun(inp))
         return fun
 
-    def _region_family(self, region, user_fun, nout, name):
+    def _region_family(self, region, user_fun, nout, name, data=None):
         region = _canon_region(region)
         if region in ("ODEParams", "StaticParams"):
             if region == "ODEParams":
                 idx = [[self._opi(k) for k in range(self.PV)]]
             else:
                 idx = [[self._spi(k) for k in range(self.SPV)]]
+            if data is not None:
+                fun = lambda g, c: jnp.atleast_1d(user_fun(g, c))
+                fam = IndexedFunction(fun, np.asarray(idx, np.int32),
+                                      data[None, :], name=name)
+                fam._data_cols = (0, data.size)
+                return fam
             fun = lambda g, c: jnp.atleast_1d(user_fun(g))
             return IndexedFunction(fun, np.asarray(idx, np.int32),
                                    np.zeros((1, 1)), name=name)
         apps, taus = self._region_apps(region)
         Vidx = self._gather_nodes(apps)
         consts = np.asarray(taus, dtype=np.float64)
-        fun = self._region_input_fun(user_fun, len(apps[0]))
-        return IndexedFunction(fun, Vidx, consts, name=name)
+        ntau = consts.shape[1]
+        if data is not None:
+            consts = np.concatenate(
+                [consts, np.tile(data, (len(apps), 1))], axis=1)
+        fun = self._region_input_fun(user_fun, len(apps[0]),
+                                     with_data=data is not None)
+        fam = IndexedFunction(fun, Vidx, consts, name=name)
+        if data is not None:
+            fam._data_cols = (ntau, data.size)
+        return fam
 
     def _region_input_width(self, region):
         region = _canon_region(region)
@@ -439,8 +470,8 @@ class Phase:
                 out.append(int(v))
         return np.asarray(out, dtype=np.int64)
 
-    def _add(self, kind, region, fun, nout, name):
-        self._specs.append(_Spec(kind, region, fun, nout, name))
+    def _add(self, kind, region, fun, nout, name, data=None):
+        self._specs.append(_Spec(kind, region, fun, nout, name, data=data))
         self._need_transcribe = True
         return len(self._specs) - 1
 
@@ -502,16 +533,76 @@ class Phase:
     # boundary values / locks ------------------------------------------------
     def addBoundaryValue(self, region, indices, values):
         idx = jnp.asarray(self._resolve_idx(indices))
-        vals = jnp.asarray(np.asarray(values, dtype=np.float64).ravel())
-        def fun(inp):
-            return inp[idx] - vals
-        return self._add("eq", region, fun, int(idx.shape[0]), "boundary")
+        vals = np.asarray(values, dtype=np.float64).ravel()
+        def fun(inp, d):
+            return inp[idx] - d
+        si = self._add("eq", region, fun, int(idx.shape[0]), "boundary",
+                       data=vals)
+        self._locks.append((si, _canon_region(region),
+                            np.asarray(self._resolve_idx(indices))))
+        return si
 
     def addValueLock(self, region, indices):
-        """Pin variables to their current IG values (reference
+        """Pin variables to their current IG values; update the pinned
+        values later with subVariables — no retranscription (reference
         `ODEPhaseBase.cpp:95`)."""
         vals = self._values_at_region(region, indices)
         return self.addBoundaryValue(region, indices, vals)
+
+    def subVariables(self, region, indices, values):
+        """Substitute new values for variables pinned by addValueLock /
+        addBoundaryValue in `region` (reference subVariables,
+        `ODEPhaseBase.h`): updates the lock targets AND the trajectory so
+        the next solve starts consistent.  Zero-recompile: lock data rides
+        in runtime consts."""
+        region = _canon_region(region)
+        idx = np.asarray(self._resolve_idx(indices))
+        values = np.asarray(values, np.float64).ravel()
+        hit = False
+        for si, reg, lidx in self._locks:
+            if reg != region:
+                continue
+            pos = {int(v): k for k, v in enumerate(lidx)}
+            sel = [pos[int(v)] for v in idx if int(v) in pos]
+            if len(sel) != len(idx):
+                continue
+            spec = self._specs[si]
+            spec.data[np.asarray(sel)] = values
+            hit = True
+            break
+        if not hit:
+            raise ValueError(
+                f"subVariables: no value lock covering {region} {idx}")
+        # reflect into the active trajectory (reference substitutes into
+        # ActiveTraj so makeSolverInput is consistent with the lock)
+        row = {"Front": 0, "Back": self.numNodes - 1}.get(region)
+        if row is not None and self._traj is not None:
+            per = self.XV + 1 + self.UV
+            for v, val in zip(idx, values):
+                if v < per:
+                    self._traj[row, v] = val
+                    if v == self.XV:  # time variable
+                        if row == 0:
+                            self.t0 = float(val)
+                        else:
+                            self.tf = float(val)
+        self._push_spec_data(si)
+
+    def subVariable(self, region, index, value):
+        return self.subVariables(region, [index], [value])
+
+    def _push_spec_data(self, si):
+        """Propagate an updated spec.data into the live family consts (if
+        transcribed), bumping the NLP consts version so the next jitted call
+        picks it up without retracing."""
+        if self._built is None or self._nlp is None:
+            return
+        spec = self._specs[si]
+        for fam, sp in self._built:
+            if sp is spec and getattr(fam, "_data_cols", None) is not None:
+                lo, nd = fam._data_cols
+                fam.consts[:, lo:lo + nd] = spec.data[None, :]
+        self._nlp.bump_consts()
 
     def addPeriodicityCon(self, indices):
         idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
@@ -978,10 +1069,15 @@ class Phase:
             return 1.0 / np.clip(mean, 1e-8, 1e8)
 
         def rescale(fam, rs):
-            return IndexedFunction(
+            out = IndexedFunction(
                 fam.fun, fam.Vidx, fam.consts, name=fam.name,
                 in_scales=U[fam.Vidx],
                 out_scales=np.broadcast_to(rs, (fam.napps, fam.nout)))
+            # data columns keep their position: the scaling wrapper appends
+            # in/out-scale columns after the original consts
+            if getattr(fam, "_data_cols", None) is not None:
+                out._data_cols = fam._data_cols
+            return out
 
         eqs2 = [rescale(f, row_scales(f)) for f in eqs]
         iqs2 = [rescale(f, row_scales(f)) for f in iqs]
@@ -998,31 +1094,43 @@ class Phase:
     def _build_families(self):
         """(eqs, iqs, objs) IndexedFunction lists in phase-local indices."""
         eqs, iqs, objs = [], [], []
+        eq_specs, iq_specs, obj_specs = [], [], []
+
         self._defect_fam = self._defect_family()
         eqs.append(self._defect_fam)
-        eqs.extend(self._control_families())
+        eq_specs.append(None)
+        for f in self._control_families():
+            eqs.append(f)
+            eq_specs.append(None)
         for spec in self._specs:
             if spec.kind == "intobj":
                 trace, idx = spec.fun
                 objs.append(self._integral_family(trace, idx))
+                obj_specs.append(spec)
             elif spec.kind == "inteq":
                 trace, idx, pnum = spec.fun
                 eqs.append(self._integral_family(trace, idx, pnum))
+                eq_specs.append(spec)
             elif spec.kind == "obj":
-                objs.append(
-                    self._region_family(spec.region, spec.fun, 1, spec.name))
+                objs.append(self._region_family(spec.region, spec.fun, 1,
+                                                spec.name, data=spec.data))
+                obj_specs.append(spec)
             elif spec.kind == "eq":
-                eqs.append(
-                    self._region_family(spec.region, spec.fun, spec.nout,
-                                        spec.name))
+                eqs.append(self._region_family(spec.region, spec.fun,
+                                               spec.nout, spec.name,
+                                               data=spec.data))
+                eq_specs.append(spec)
             elif spec.kind == "iq":
-                iqs.append(
-                    self._region_family(spec.region, spec.fun, spec.nout,
-                                        spec.name))
+                iqs.append(self._region_family(spec.region, spec.fun,
+                                               spec.nout, spec.name,
+                                               data=spec.data))
+                iq_specs.append(spec)
         if self.AutoScaling:
             eqs, iqs, objs = self._apply_autoscale(eqs, iqs, objs)
         else:
             self._scale_vec = None
+        self._built = list(zip(eqs + iqs + objs,
+                               eq_specs + iq_specs + obj_specs))
         return eqs, iqs, objs
 
     def node_of_var(self):
@@ -1033,7 +1141,44 @@ class Phase:
         nov[:self.numNodes * m] = np.arange(self.numNodes * m) // m
         return nov
 
+    def _structure_key(self):
+        return (self._numsegs, self.TranscriptionMode, self.ControlMode,
+                self.AutoScaling, self.SPV, self.PV,
+                tuple(id(s) for s in self._specs))
+
+    def _refresh_consts(self):
+        """Re-transcription without retracing: when the problem structure is
+        unchanged (same segments/specs), only the runtime consts — mesh
+        fractions from seg_bounds, lock/boundary data — need updating.
+        The jitted evaluator graphs are reused as-is (consts are runtime
+        arguments; SURVEY.md section 7 'dynamic shapes' mitigation)."""
+        segc2 = np.stack([self.seg_bounds[:-1], self.seg_bounds[1:]], axis=1)
+        for fam, spec in self._built:
+            if fam.name in ("defects", "shooting", "uspline1", "integral"):
+                fam.consts[:, :2] = segc2
+                if fam.name == "integral" and spec is not None \
+                        and spec.kind == "inteq":
+                    fam.consts[:, 2] = 1.0 / self.numSegs
+            elif fam.name == "usplineH":
+                fam.consts[:, 0] = self.seg_bounds[:-2]
+                fam.consts[:, 1] = self.seg_bounds[1:-1]
+                fam.consts[:, 2] = self.seg_bounds[2:]
+            if spec is not None and spec.data is not None \
+                    and getattr(fam, "_data_cols", None) is not None:
+                lo, nd = fam._data_cols
+                fam.consts[:, lo:lo + nd] = spec.data[None, :]
+        self._nlp.bump_consts()
+
     def transcribe(self, *_):
+        key = self._structure_key()
+        if self._nlp is not None and key == self._struct_key:
+            # same structure: refresh runtime consts only (no rebuild, no
+            # re-probe, no recompile) — makes mesh sweeps / continuation /
+            # subVariables loops cheap (reference re-transcribes fully;
+            # C++ transcription is cheap, XLA retraces are not)
+            self._refresh_consts()
+            self._need_transcribe = False
+            return
         nlp = NonLinearProgram(self.numVars)
         eqs, iqs, objs = self._build_families()
         for f in eqs:
@@ -1057,6 +1202,7 @@ class Phase:
                     print(f"  [kkt] falling back to dense backend: {e}")
                 kkt = None
         self.optimizer.setNLP(nlp, kkt)
+        self._struct_key = key
         self._need_transcribe = False
 
     # --------------------------------------------------------- solve entries

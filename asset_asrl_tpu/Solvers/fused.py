@@ -149,7 +149,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         return fac, neigs, dused, k
 
     def line_search(x, s, lamE, lamI, dx, ds, PrimObj, BarrObj, Mu,
-                    rd, rs, cE, rI, lamE_d, lamI_d):
+                    rd, rs, cE, rI, lamE_d, lamI_d, consts):
         """Merit line search (reference ls_impl, `PSIOPT.cpp:811`)."""
         allcons = jnp.concatenate([cE, rI])
         lm = jnp.concatenate([lamE, lamI])
@@ -164,7 +164,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
 
         def merit(alpha):
             x2 = x + alpha * dx
-            obj2, cE2, cI2 = eval_oc(x2)
+            obj2, cE2, cI2 = eval_oc(x2, consts)
             ptest = obj2 * sigma
             if mI > 0:
                 s2 = s + alpha * ds
@@ -211,12 +211,13 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
                          jnp.zeros((), bool)))
         return alpha
 
-    def iteration(carry):
+    def iteration(carry, consts):
         (it, x, s, lamE, lamI, Mu, Hpert0, first_pert, nonzero4, infos,
          flag, acc_count, best_crit, best_x, best_s, best_lE,
          best_lI) = carry
 
-        obj, cE, cIraw, rd, famvals = kkt._ad_impl(x, lamE, lamI, sigma)
+        obj, cE, cIraw, rd, famvals = kkt._ad_impl(x, lamE, lamI, sigma,
+                                                   consts)
 
         if mI > 0:
             s, rI = slack_reset(s, cIraw)
@@ -302,7 +303,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         if lsmode in ("AUGLANG", "L1", "LANG"):
             alpha = line_search(x, s, lamE, lamI, dx, ds,
                                 obj * sigma, BarrObj, Mu,
-                                rd, rs, cE, rI, dlamE, dlamI)
+                                rd, rs, cE, rI, dlamE, dlamI, consts)
             alpha = jnp.where(good, alpha, 1.0)
         else:
             alpha = jnp.ones((), DEFAULT_DTYPE)
@@ -367,7 +368,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         it, flag = carry[0], carry[10]
         return (flag == _NOTCONV) & (it < MaxIters)
 
-    def run(x, s, lamE, lamI, Mu0):
+    def run(x, s, lamE, lamI, Mu0, consts):
         infos = jnp.zeros((MaxIters, ninfo), DEFAULT_DTYPE)
         init = (jnp.zeros((), jnp.int32), x, s, lamE, lamI,
                 jnp.asarray(Mu0, DEFAULT_DTYPE),
@@ -376,7 +377,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
                 jnp.asarray(_NOTCONV, jnp.int32),
                 jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, DEFAULT_DTYPE), x, s, lamE, lamI)
-        out = jax.lax.while_loop(cond, iteration, init)
+        out = jax.lax.while_loop(cond, lambda c: iteration(c, consts), init)
         (it, x, s, lamE, lamI, Mu, _, _, _, infos, flag, _, best_crit,
          best_x, best_s, best_lE, best_lI) = out
         return (x, s, lamE, lamI, Mu, flag, it, infos,

@@ -1154,44 +1154,47 @@ class BlockKKT:
             self._g_overflow = None
 
     # --------------------------------------------------- family evaluation
-    def _eval_core(self, x, lamE, lamI, sigma, want_hess):
+    def _eval_core(self, x, lamE, lamI, sigma, consts, want_hess):
         """One vmapped pass over every family (reference evalKKT,
         `NonLinearProgram.cpp:473`): values + Jacobians (+ adjoint Hessians
         when `want_hess`), assembled into obj/cE/cI/rd via concatenation and
-        gather tables — no scatters on the hot path."""
+        gather tables — no scatters on the hot path.  consts: the runtime
+        (obj, eq, iq) device tuple from nlp.consts_dev(), threaded as a jit
+        argument so subVariables/mesh updates never retrace."""
+        ocon, econ, icon = consts
         famvals = dict(jx_eq=[], hx_eq=[], jx_iq=[], hx_iq=[], hx_obj=[])
         g2d = []
         ce, ci = [], []
         obj = jnp.zeros((), DEFAULT_DTYPE)
-        for fam in self._eq:
+        for fam, cc in zip(self._eq, econ):
             lam = lamE[fam["rows"]]
             if want_hess and fam["need_hess"]:
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, lam)
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             famvals["jx_eq"].append(jx)
             famvals["hx_eq"].append(hx)
             ce.append(fx.ravel())
             g2d.append((jx * lam[:, :, None]).sum(1))
-        for fam in self._iq:
+        for fam, cc in zip(self._iq, icon):
             lam = lamI[fam["rows"]]
             if want_hess and fam["need_hess"]:
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], lam)
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, lam)
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             famvals["jx_iq"].append(jx)
             famvals["hx_iq"].append(hx)
             ci.append(fx.ravel())
             g2d.append((jx * lam[:, :, None]).sum(1))
-        for fam in self._obj:
+        for fam, cc in zip(self._obj, ocon):
             if want_hess and fam["need_hess"]:
                 ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], fam["consts"], ones)
+                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, ones)
                 hx = sigma * hx
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], fam["consts"])
+                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             obj = obj + jnp.sum(fx)
             famvals["hx_obj"].append(hx)
@@ -1210,16 +1213,17 @@ class BlockKKT:
             rd = rd.at[t].add(gbuf[s])
         return obj, cE, cI, rd, famvals
 
-    def _ad_impl(self, x, lamE, lamI, sigma):
-        return self._eval_core(x, lamE, lamI, sigma, want_hess=True)
+    def _ad_impl(self, x, lamE, lamI, sigma, consts):
+        return self._eval_core(x, lamE, lamI, sigma, consts, want_hess=True)
 
-    def _resid_impl(self, x, lamE, lamI, sigma):
-        obj, cE, cI, rd, _ = self._eval_core(x, lamE, lamI, sigma,
+    def _resid_impl(self, x, lamE, lamI, sigma, consts):
+        obj, cE, cI, rd, _ = self._eval_core(x, lamE, lamI, sigma, consts,
                                              want_hess=False)
         return obj, rd, cE, cI, rd   # 2nd slot (gradf) kept for API shape
 
     def eval_resid(self, x, lamE, lamI, sigma):
-        return self._jit_resid(x, lamE, lamI, jnp.asarray(sigma))
+        return self._jit_resid(x, lamE, lamI, jnp.asarray(sigma),
+                               self.nlp.consts_dev())
 
     # ------------------------------------------------------ block assembly
     def _blocks_impl(self, famvals, sig_tilde):
@@ -1291,8 +1295,9 @@ class BlockKKT:
                                     fdtype=fdtype)
         return fac, neigs
 
-    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
-        _, _, _, _, famvals = self._ad_impl(x, lamE, lamI, sigma)
+    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
+                     consts):
+        _, _, _, _, famvals = self._ad_impl(x, lamE, lamI, sigma, consts)
         blocks = self._blocks_impl(famvals, sig_tilde)
         fac, neigs = self._factor_blocks_impl(blocks, delta, gammaE)
         fac["iq_jx"] = famvals["jx_iq"]
@@ -1302,7 +1307,8 @@ class BlockKKT:
                gammaE, gammaI=None):
         fac, neigs = self._jit_factor(
             x, lamE, lamI, jnp.asarray(sigma), sig_tilde,
-            jnp.asarray(delta), jnp.asarray(gammaE))
+            jnp.asarray(delta), jnp.asarray(gammaE),
+            self.nlp.consts_dev())
         return fac, int(neigs)
 
     # --------------------------------------------------------------- solve

@@ -33,9 +33,11 @@ class DenseKKT:
         rd = gradf + JE.T @ lamE + JI.T @ lamI
         return obj, gradf, cE, cI, rd
 
-    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE):
+    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
+                     consts):
         nlp = self.nlp
-        obj, gradf, cE, cI, H, JE, JI = nlp.eval_kkt(x, lamE, lamI, sigma)
+        obj, gradf, cE, cI, H, JE, JI = nlp.eval_kkt_impl(
+            x, lamE, lamI, sigma, consts)
         n, mE = nlp.numPrimal, nlp.numEq
         Hc = H + JI.T @ (sig_tilde[:, None] * JI) \
             + delta * jnp.eye(n, dtype=DEFAULT_DTYPE)
@@ -53,7 +55,8 @@ class DenseKKT:
                gammaE, gammaI=None):
         fac, neigs = self._jit_factor(
             x, lamE, lamI, jnp.asarray(sigma), sig_tilde,
-            jnp.asarray(delta), jnp.asarray(gammaE))
+            jnp.asarray(delta), jnp.asarray(gammaE),
+            self.nlp.consts_dev())
         return fac, int(neigs)
 
     def _solve_impl(self, fac, rhs_x, rhs_E):

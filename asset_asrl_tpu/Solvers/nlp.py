@@ -146,6 +146,28 @@ class NonLinearProgram:
         self.eqcons: list[IndexedFunction] = []
         self.iqcons: list[IndexedFunction] = []
         self._frozen = False
+        # family consts are runtime arguments of every jitted evaluator, so
+        # boundary values / lock values / mesh fractions can change between
+        # solves with ZERO retracing (subVariables & warm continuation,
+        # reference `ODEPhaseBase.cpp` LockedValues).  bump_consts()
+        # invalidates the cached device copies.
+        self.consts_version = 0
+        self._consts_cache = (-1, None)
+
+    # ------------------------------------------------------------- consts
+    def bump_consts(self):
+        self.consts_version += 1
+
+    def consts_dev(self):
+        """(obj, eq, iq) tuples of device consts arrays, cache-refreshed
+        when bump_consts() was called."""
+        ver, cached = self._consts_cache
+        if ver != self.consts_version:
+            cached = (tuple(jnp.asarray(f.consts) for f in self.objectives),
+                      tuple(jnp.asarray(f.consts) for f in self.eqcons),
+                      tuple(jnp.asarray(f.consts) for f in self.iqcons))
+            self._consts_cache = (self.consts_version, cached)
+        return cached
 
     # ------------------------------------------------------------- builders
     def addObjective(self, f: IndexedFunction):
@@ -188,45 +210,46 @@ class NonLinearProgram:
         n = self.numPrimal
         mE, mI = self.numEq, self.numIq
         obj_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                     jnp.asarray(f.Vidx), jnp.asarray(f.consts))
+                     jnp.asarray(f.Vidx))
                     for f in self.objectives]
         eq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                    jnp.asarray(f.Vidx), jnp.asarray(f.consts),
-                    jnp.asarray(rows))
+                    jnp.asarray(f.Vidx), jnp.asarray(rows))
                    for f, rows in zip(self.eqcons, self._eq_rows)]
         iq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                    jnp.asarray(f.Vidx), jnp.asarray(f.consts),
-                    jnp.asarray(rows))
+                    jnp.asarray(f.Vidx), jnp.asarray(rows))
                    for f, rows in zip(self.iqcons, self._iq_rows)]
 
-        def eval_obj_cons(x):
+        def eval_obj_cons(x, consts):
             """Objective value + raw constraint residuals (reference evalOCC:
             used by the merit line search).  Constraint rows are assigned
             contiguously per family in family order (freeze), so cE/cI are
-            plain concatenations — no scatter."""
+            plain concatenations — no scatter.  consts: the (obj, eq, iq)
+            device tuple from consts_dev()."""
+            ocon, econ, icon = consts
             obj = jnp.zeros((), DEFAULT_DTYPE)
-            for f, fval, _, vidx, consts in obj_fams:
-                obj = obj + jnp.sum(fval(x[vidx], consts))
-            ceparts = [fval(x[vidx], consts).ravel()
-                       for f, fval, _, vidx, consts, rows in eq_fams]
+            for (f, fval, _, vidx), cc in zip(obj_fams, ocon):
+                obj = obj + jnp.sum(fval(x[vidx], cc))
+            ceparts = [fval(x[vidx], cc).ravel()
+                       for (f, fval, _, vidx, rows), cc in zip(eq_fams, econ)]
             cE = jnp.concatenate(ceparts) if ceparts else \
                 jnp.zeros((mE,), DEFAULT_DTYPE)
-            ciparts = [fval(x[vidx], consts).ravel()
-                       for f, fval, _, vidx, consts, rows in iq_fams]
+            ciparts = [fval(x[vidx], cc).ravel()
+                       for (f, fval, _, vidx, rows), cc in zip(iq_fams, icon)]
             cI = jnp.concatenate(ciparts) if ciparts else \
                 jnp.zeros((mI,), DEFAULT_DTYPE)
             return obj, cE, cI
 
-        def eval_kkt(x, lamE, lamI, sigma):
+        def eval_kkt(x, lamE, lamI, sigma, consts):
             """Full KKT data (reference NonLinearProgram::evalKKT):
             obj, gradf (scaled by sigma), cE, cI, dense H = sigma*grad^2 f +
             sum lam * grad^2 c, dense JE, JI."""
+            ocon, econ, icon = consts
             obj = jnp.zeros((), DEFAULT_DTYPE)
             gradf = jnp.zeros((n,), DEFAULT_DTYPE)
             H = jnp.zeros((n, n), DEFAULT_DTYPE)
-            for f, _, ffull, vidx, consts in obj_fams:
+            for (f, _, ffull, vidx), cc in zip(obj_fams, ocon):
                 ones = jnp.ones((f.napps, 1), DEFAULT_DTYPE)
-                fx, jx, hx = ffull(x[vidx], consts, ones)
+                fx, jx, hx = ffull(x[vidx], cc, ones)
                 obj = obj + jnp.sum(fx)
                 gradf = gradf.at[vidx.ravel()].add(sigma * jx.ravel())
                 hr = jnp.broadcast_to(vidx[:, :, None],
@@ -237,9 +260,9 @@ class NonLinearProgram:
 
             cE = jnp.zeros((mE,), DEFAULT_DTYPE)
             JE = jnp.zeros((mE, n), DEFAULT_DTYPE)
-            for f, _, ffull, vidx, consts, rows in eq_fams:
+            for (f, _, ffull, vidx, rows), cc in zip(eq_fams, econ):
                 lam = lamE[rows]
-                fx, jx, hx = ffull(x[vidx], consts, lam)
+                fx, jx, hx = ffull(x[vidx], cc, lam)
                 cE = cE.at[rows.ravel()].add(fx.ravel())
                 jr = jnp.broadcast_to(rows[:, :, None],
                                       (f.napps, f.nout, f.nin))
@@ -254,9 +277,9 @@ class NonLinearProgram:
 
             cI = jnp.zeros((mI,), DEFAULT_DTYPE)
             JI = jnp.zeros((mI, n), DEFAULT_DTYPE)
-            for f, _, ffull, vidx, consts, rows in iq_fams:
+            for (f, _, ffull, vidx, rows), cc in zip(iq_fams, icon):
                 lam = lamI[rows]
-                fx, jx, hx = ffull(x[vidx], consts, lam)
+                fx, jx, hx = ffull(x[vidx], cc, lam)
                 cI = cI.at[rows.ravel()].add(fx.ravel())
                 jr = jnp.broadcast_to(rows[:, :, None],
                                       (f.napps, f.nout, f.nin))
@@ -272,8 +295,12 @@ class NonLinearProgram:
             return obj, gradf, cE, cI, H, JE, JI
 
         self.eval_obj_cons_impl = eval_obj_cons   # raw (inlinable) version
-        self.eval_obj_cons = jax.jit(eval_obj_cons)
-        self.eval_kkt = jax.jit(eval_kkt)
+        self.eval_kkt_impl = eval_kkt
+        self._jit_eval_oc = jax.jit(eval_obj_cons)
+        self._jit_eval_kkt = jax.jit(eval_kkt)
+        self.eval_obj_cons = lambda x: self._jit_eval_oc(x, self.consts_dev())
+        self.eval_kkt = lambda x, lamE, lamI, sigma: self._jit_eval_kkt(
+            x, lamE, lamI, sigma, self.consts_dev())
 
     # ------------------------------------------------------------- info
     def __repr__(self):

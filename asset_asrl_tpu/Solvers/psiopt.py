@@ -322,7 +322,8 @@ class PSIOPT:
         tq0 = time.perf_counter()
         (x, s, lamE, lamI, Mu, flag, niters, infos,
          bx, bs_, blE, blI) = fn(x, s, lamE, lamI,
-                                 jnp.asarray(self.initMu))
+                                 jnp.asarray(self.initMu),
+                                 self.nlp.consts_dev())
         flag = int(flag)
         niters = int(niters)
         self.LastKKTTime += time.perf_counter() - tq0

@@ -42,9 +42,12 @@ def make_iteration_step(phase, delta=1.0e-5, gammaE=1.0e-10,
     nlp = phase._nlp
     mI = nlp.numIq
 
+    consts0 = nlp.consts_dev()
+
     def step(state):
         x, s, lamE, lamI, mu = state
-        obj, gradf, cE, cIraw, rd = kkt._resid_impl(x, lamE, lamI, 1.0)
+        obj, gradf, cE, cIraw, rd = kkt._resid_impl(x, lamE, lamI, 1.0,
+                                                    consts0)
 
         # slack reset (PSIOPT.h:549)
         s = jnp.maximum(s, 1e-12)
@@ -67,7 +70,7 @@ def make_iteration_step(phase, delta=1.0e-5, gammaE=1.0e-10,
 
         fac, neigs = kkt._factor_impl(
             x, lamE, lamI, jnp.asarray(1.0), sig_tilde,
-            jnp.asarray(delta), jnp.asarray(gammaE))
+            jnp.asarray(delta), jnp.asarray(gammaE), consts0)
         w = rI - SigInv * rs
         rhs_x = rd + kkt._iq_rmatvec_impl(fac, sig_tilde * w)
         dx, dlamE = kkt._solve_impl(fac, -rhs_x, -cE)

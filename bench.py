@@ -75,7 +75,7 @@ def main():
     mu0 = jnp.asarray(opt.initMu)
 
     # warm-up: compile + one full solve (also yields the iteration count)
-    out = fn(x, s, lamE, lamI, mu0)
+    out = fn(x, s, lamE, lamI, mu0, kkt.nlp.consts_dev())
     jax.block_until_ready(out[0])
     flag, niters = int(out[5]), int(out[6])
 
@@ -85,7 +85,7 @@ def main():
     t0 = time.perf_counter()
     total_iters = 0
     for _ in range(reps):
-        out = fn(x, s, lamE, lamI, mu0)
+        out = fn(x, s, lamE, lamI, mu0, kkt.nlp.consts_dev())
         jax.block_until_ready(out[0])
         total_iters += int(out[6])
     dt = time.perf_counter() - t0

@@ -28,12 +28,12 @@ fn = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")
 x, s, lamE, lamI = opt._init_state(phase.makeSolverInput(), opt.initMu)
 mu0 = jnp.asarray(opt.initMu)
 t0 = time.perf_counter()
-out = fn(x, s, lamE, lamI, mu0)
+out = fn(x, s, lamE, lamI, mu0, kkt.nlp.consts_dev())
 jax.block_until_ready(out[0])
 t1 = time.perf_counter()
 print("compile+run1:", t1 - t0, "flag", int(out[5]), "iters", int(out[6]))
 t0 = time.perf_counter()
-out = fn(x, s, lamE, lamI, mu0)
+out = fn(x, s, lamE, lamI, mu0, kkt.nlp.consts_dev())
 jax.block_until_ready(out[0])
 t1 = time.perf_counter()
 ni = int(out[6])
