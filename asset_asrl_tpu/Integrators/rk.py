@@ -160,7 +160,7 @@ class Integrator:
             row = ctrl.interp_traced(t)
             if self._uvars is not None:
                 # uvars index the table's stored row (time removed)
-                sel = jnp.asarray(
+                sel = np.asarray(
                     [i if i < ctrl.tcol else i - 1 for i in self._uvars])
                 return row[sel]
             # default: trailing UV columns of the table
@@ -170,7 +170,7 @@ class Integrator:
             if self._uvars is not None:
                 # uvars select the law's inputs from [x, t] (reference
                 # Integrator controller closures, `Integrator.h:51`)
-                sel = jnp.asarray(np.asarray(self._uvars, np.int64))
+                sel = np.asarray(self._uvars, np.int64)
                 return ctrl.trace(xt[sel])
             if ctrl.IRows() == self.ode.XVars() + 1:
                 return ctrl.trace(xt)
@@ -187,16 +187,16 @@ class Integrator:
     # ------------------------------------------------------------- core step
     def _make_core(self):
         tab = RKCoeffs.get(self.method)
-        A = [jnp.asarray(r, DEFAULT_DTYPE) for r in tab["a"]]
-        b = jnp.asarray(tab["b"], DEFAULT_DTYPE)
-        bhat = None if tab["bhat"] is None else jnp.asarray(
-            tab["bhat"], DEFAULT_DTYPE)
-        c = jnp.asarray(tab["c"], DEFAULT_DTYPE)
+        A = [np.asarray(r, np.float64) for r in tab["a"]]
+        b = np.asarray(tab["b"], np.float64)
+        bhat = None if tab["bhat"] is None else np.asarray(
+            tab["bhat"], np.float64)
+        c = np.asarray(tab["c"], np.float64)
         order = tab["order"]
         ns = len(tab["b"])
         XV = self.ode.XVars()
-        abst = jnp.asarray(self.AbsTols)
-        relt = jnp.asarray(self.RelTols)
+        abst = np.asarray(self.AbsTols)
+        relt = np.asarray(self.RelTols)
         hmin, hmax = self.MinStepSize, self.MaxStepSize
         adaptive = self.Adaptive and bhat is not None
         rhs = self._rhs

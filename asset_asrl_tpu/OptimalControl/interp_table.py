@@ -66,9 +66,9 @@ class LGLInterpTable:
             for i in range(n):
                 dv[i, :ode.ORows()] = np.asarray(ode.compute(rows[i]))
         self.tangents = dv
-        self._jts = jnp.asarray(self.ts)
-        self._jvals = jnp.asarray(self.vals)
-        self._jtan = jnp.asarray(self.tangents)
+        self._jts = np.asarray(self.ts)
+        self._jvals = np.asarray(self.vals)
+        self._jtan = np.asarray(self.tangents)
 
     # -------------------------------------------------------------- queries
     def interp_traced(self, t):
@@ -116,7 +116,7 @@ def InterpFunction(tab: LGLInterpTable, idx):
     """VectorFunction of time: t -> selected interpolated columns
     (reference InterpFunction_N bindings)."""
     idx = np.asarray(list(idx), dtype=np.int64)
-    idxj = jnp.asarray(idx)
+    idxj = np.asarray(idx)
 
     def impl(x):
         row = tab.interp_traced(x[0])

@@ -270,8 +270,8 @@ class OptimalControlProblem:
             packa = self._region_pack(pa, offsets[self.Phases.index(pa)], ra)
             packb = self._region_pack(pb, offsets[self.Phases.index(pb)], rb)
             idx = packa[2] + packb[2]
-            vaj = jnp.asarray(va)
-            vbj = jnp.asarray(vb)
+            vaj = np.asarray(va)
+            vbj = np.asarray(vb)
             la = len(packa[2])
 
             def build_inp(pack, g, lo):
@@ -303,8 +303,8 @@ class OptimalControlProblem:
             packs = []
             for p, r, xtuv, opv, spv in sel:
                 pack = self._region_pack(p, offsets[self.Phases.index(p)], r)
-                packs.append((pack, len(idx), jnp.asarray(xtuv),
-                              jnp.asarray(opv), jnp.asarray(spv), p))
+                packs.append((pack, len(idx), np.asarray(xtuv),
+                              np.asarray(opv), np.asarray(spv), p))
                 idx += pack[2]
             lp_lo = len(idx)
             idx += [self._lp_offset + int(k) for k in lp]

@@ -524,7 +524,7 @@ class Phase:
         if len(sel) != ir:
             raise ValueError(
                 f"selected {len(sel)} vars but function takes {ir}")
-        selj = jnp.asarray(sel)
+        selj = np.asarray(sel)
 
         def f_sub(inp):
             return trace(inp[selj])
@@ -532,7 +532,7 @@ class Phase:
 
     # boundary values / locks ------------------------------------------------
     def addBoundaryValue(self, region, indices, values):
-        idx = jnp.asarray(self._resolve_idx(indices))
+        idx = np.asarray(self._resolve_idx(indices))
         vals = np.asarray(values, dtype=np.float64).ravel()
         def fun(inp, d):
             return inp[idx] - d
@@ -605,7 +605,7 @@ class Phase:
         self._nlp.bump_consts()
 
     def addPeriodicityCon(self, indices):
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = np.asarray(indices, dtype=np.int64).ravel()
         per = self.XV + 1 + self.UV
         def fun(inp):
             return inp[idx] - inp[idx + per]
@@ -655,7 +655,7 @@ class Phase:
         trace, ir, orr = _tracefun(func)
         if orr != 1:
             raise ValueError("func bound requires scalar function")
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = np.asarray(indices, dtype=np.int64).ravel()
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             v = trace(inp[idx])[0]
@@ -664,7 +664,7 @@ class Phase:
 
     def addLowerFuncBound(self, region, func, indices, lb, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = np.asarray(indices, dtype=np.int64).ravel()
         lb = float(lb); s = float(scale)
         def fun(inp):
             return (lb - trace(inp[idx])[0])[None] * s
@@ -672,14 +672,14 @@ class Phase:
 
     def addUpperFuncBound(self, region, func, indices, ub, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = jnp.asarray(np.asarray(indices, dtype=np.int64).ravel())
+        idx = np.asarray(indices, dtype=np.int64).ravel()
         ub = float(ub); s = float(scale)
         def fun(inp):
             return (trace(inp[idx])[0] - ub)[None] * s
         return self._add("iq", region, fun, 1, "upperfuncbound")
 
     def addLUNormBound(self, region, indices, lb, ub, scale=1.0):
-        idx = jnp.asarray(self._resolve_idx(indices))
+        idx = np.asarray(self._resolve_idx(indices))
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -687,7 +687,7 @@ class Phase:
         return self._add("iq", region, fun, 2, "lunormbound")
 
     def addLowerNormBound(self, region, indices, lb, scale=1.0):
-        idx = jnp.asarray(self._resolve_idx(indices))
+        idx = np.asarray(self._resolve_idx(indices))
         lb = float(lb); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -695,7 +695,7 @@ class Phase:
         return self._add("iq", region, fun, 1, "lowernormbound")
 
     def addUpperNormBound(self, region, indices, ub, scale=1.0):
-        idx = jnp.asarray(self._resolve_idx(indices))
+        idx = np.asarray(self._resolve_idx(indices))
         ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sqrt(jnp.sum(jnp.square(inp[idx])))
@@ -703,7 +703,7 @@ class Phase:
         return self._add("iq", region, fun, 1, "uppernormbound")
 
     def addLUSquaredNormBound(self, region, indices, lb, ub, scale=1.0):
-        idx = jnp.asarray(self._resolve_idx(indices))
+        idx = np.asarray(self._resolve_idx(indices))
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             nv = jnp.sum(jnp.square(inp[idx]))
@@ -808,14 +808,14 @@ class Phase:
         if self.TranscriptionMode == "CentralShooting":
             return self._shooting_family()
 
-        x_int = jnp.asarray(sch.x_interp)
-        dx_int = jnp.asarray(sch.dx_interp)
-        u_int = jnp.asarray(sch.u_interp)
-        x_def = jnp.asarray(sch.x_def)
-        dx_def = jnp.asarray(sch.dx_def)
-        i_def = jnp.asarray(sch.int_def)
-        ctau = jnp.asarray(sch.cardinal_tau)
-        itau = jnp.asarray(sch.interior_tau)
+        x_int = np.asarray(sch.x_interp)
+        dx_int = np.asarray(sch.dx_interp)
+        u_int = np.asarray(sch.u_interp)
+        x_def = np.asarray(sch.x_def)
+        dx_def = np.asarray(sch.dx_def)
+        i_def = np.asarray(sch.int_def)
+        ctau = np.asarray(sch.cardinal_tau)
+        itau = np.asarray(sch.interior_tau)
 
         def fun(g, c):
             t0 = g[cs * m]
@@ -935,7 +935,7 @@ class Phase:
             interior = list(range(1, cs - 1))
             ct = sch.cardinal_tau
             w = np.asarray([[1.0 - ct[j], ct[j]] for j in interior])
-            wj = jnp.asarray(w)
+            wj = np.asarray(w)
             def fun(g, c):
                 us = jnp.stack([g[j * m + self.XV:(j + 1) * m]
                                 for j in range(cs)])
@@ -949,8 +949,8 @@ class Phase:
             return fams
         if mode == ControlModes.HighestOrderSpline:
             # derivative continuity across segment junctions
-            d0 = jnp.asarray(sch.u_dtau0)
-            d1 = jnp.asarray(sch.u_dtau1)
+            d0 = np.asarray(sch.u_dtau0)
+            d1 = np.asarray(sch.u_dtau1)
             def fun(g, c):
                 # g: two adjacent segments' nodes (2*cs-1 distinct nodes)
                 t0 = g[(2 * cs - 1) * m]
@@ -985,9 +985,9 @@ class Phase:
         (`src/OptimalControl/LGL*.h`)."""
         cs, m, XV, UV, PV = self._cs, self._m, self.XV, self.UV, self.PV
         sch = self._scheme
-        wq = jnp.asarray(sch.quad_reduced)
-        ctau = jnp.asarray(sch.cardinal_tau)
-        idxj = jnp.asarray(idx)
+        wq = np.asarray(sch.quad_reduced)
+        ctau = np.asarray(sch.cardinal_tau)
+        idxj = np.asarray(idx)
         spsel = None if extra_sp is None else int(extra_sp)
 
         def fun(g, c):

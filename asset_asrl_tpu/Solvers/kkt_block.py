@@ -990,14 +990,13 @@ class BlockKKT:
                                  node_of_var, eq_fams, iq_fams, obj_fams)
         bs = self.bs
         self.nlevels = max(1, int(np.ceil(np.log2(max(bs.K, 2)))))
-        self._perm = jnp.asarray(bs.rhs_perm())
+        self._perm = np.asarray(bs.rhs_perm())
 
         self._eq = []
         for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows, eq_nz):
             self._eq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
-                consts=jnp.asarray(f.consts),
+                Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
         self._iq = []
@@ -1009,15 +1008,14 @@ class BlockKKT:
                 hfull |= np.outer(jnz[r], jnz[r])
             self._iq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                Vidx=jnp.asarray(f.Vidx), rows=jnp.asarray(rows),
-                consts=jnp.asarray(f.consts),
+                Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz, hfull=hfull,
                 nout=f.nout, nin=f.nin, napps=f.napps))
         self._obj = []
         for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
             self._obj.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                Vidx=jnp.asarray(f.Vidx), consts=jnp.asarray(f.consts),
+                Vidx=np.asarray(f.Vidx),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
         self._build_plan()
@@ -1037,14 +1035,14 @@ class BlockKKT:
             mk, sl = bs._urow_macro[r], bs._urow_slot[r]
             if mk >= 0:
                 sign[mk * W * W + sl * W + sl] = -1.0
-        self._diag_sign = jnp.asarray(sign.reshape(K, W, W))
-        self._diag_fix = jnp.asarray(fix.reshape(K, W, W))
+        self._diag_sign = sign.reshape(K, W, W)
+        self._diag_fix = fix.reshape(K, W, W)
         csign = np.zeros(b * b)
         for i in range(b):
             csign[i * b + i] = 1.0
         for r, sl in bs.border_row_slot.items():
             csign[sl * b + sl] = -1.0
-        self._c_sign = jnp.asarray(csign.reshape(b, b))
+        self._c_sign = csign.reshape(b, b)
 
         self._jit_factor = jax.jit(self._factor_impl)
         self._jit_solve = jax.jit(self._solve_impl)
@@ -1107,12 +1105,12 @@ class BlockKKT:
         tlow, lov = _build_table(lpairs, K * W * W, off)
         tB, bov = _build_table(bpairs, K * W * b, off)
         tC, cov = _build_table(cpairs, b * b, off, max_width=1 << 30)
-        self._tdiag = jnp.asarray(tdiag.reshape(K, W, W, -1))
-        self._tlow = jnp.asarray(tlow.reshape(K, W, W, -1))
-        self._tB = jnp.asarray(tB.reshape(K, W, b, -1)) if b > 0 else None
-        self._tC = jnp.asarray(tC.reshape(b, b, -1)) if b > 0 else None
+        self._tdiag = tdiag.reshape(K, W, W, -1)
+        self._tlow = tlow.reshape(K, W, W, -1)
+        self._tB = tB.reshape(K, W, b, -1) if b > 0 else None
+        self._tC = tC.reshape(b, b, -1) if b > 0 else None
         # overflow pairs (slots with >16 contributors) fall back to scatter
-        self._overflow = [(jnp.asarray(s), jnp.asarray(t), name)
+        self._overflow = [(np.asarray(s), np.asarray(t), name)
                           for (s, t), name in
                           [(dov, "diag"), (lov, "lower"), (bov, "B")]
                           if len(s)]
@@ -1136,8 +1134,8 @@ class BlockKKT:
                 if len(bc) and napps and \
                         np.all(Vidx_np[:, bc] == Vidx_np[0:1, bc]):
                     ids = Vidx_np[0, bc]
-                    self._g_border.append((which, i, jnp.asarray(bc),
-                                           jnp.asarray(ids)))
+                    self._g_border.append((which, i, np.asarray(bc),
+                                           np.asarray(ids)))
                     keep = np.ones(nin, bool)
                     keep[bc] = False
                 else:
@@ -1147,9 +1145,9 @@ class BlockKKT:
                 goff += napps * nin
         self._gbuf_len = goff
         trd, gov = _build_table(gpairs, n, goff, max_width=24)
-        self._trd = jnp.asarray(trd)
+        self._trd = trd
         if len(gov[0]):
-            self._g_overflow = (jnp.asarray(gov[0]), jnp.asarray(gov[1]))
+            self._g_overflow = (np.asarray(gov[0]), np.asarray(gov[1]))
         else:
             self._g_overflow = None
 

@@ -210,13 +210,13 @@ class NonLinearProgram:
         n = self.numPrimal
         mE, mI = self.numEq, self.numIq
         obj_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                     jnp.asarray(f.Vidx))
+                     np.asarray(f.Vidx))
                     for f in self.objectives]
         eq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                    jnp.asarray(f.Vidx), jnp.asarray(rows))
+                    np.asarray(f.Vidx), np.asarray(rows))
                    for f, rows in zip(self.eqcons, self._eq_rows)]
         iq_fams = [(f, _family_value(f.fun), _family_full(f.fun),
-                    jnp.asarray(f.Vidx), jnp.asarray(rows))
+                    np.asarray(f.Vidx), np.asarray(rows))
                    for f, rows in zip(self.iqcons, self._iq_rows)]
 
         def eval_obj_cons(x, consts):

@@ -93,14 +93,14 @@ class _InterpTableND:
     functions (or numbers) returns a scalar VectorFunction."""
 
     def __init__(self, axes, data, kind="cubic"):
-        self.axes = [jnp.asarray(np.asarray(a, dtype=np.float64))
+        self.axes = [np.asarray(a, dtype=np.float64)
                      for a in axes]
         data = np.asarray(data, dtype=np.float64)
         if data.shape != tuple(len(a) for a in self.axes):
             raise ValueError(
                 f"data shape {data.shape} does not match axis lengths "
                 f"{tuple(len(a) for a in self.axes)}")
-        self.data = jnp.asarray(data)
+        self.data = np.asarray(data)
         self.kind = str(kind)
         self.ndim = len(self.axes)
 
