@@ -85,6 +85,51 @@ class CR3BPFrame:
             acc = acc + a
         return vf.stack([v, acc] + list(otherEOMs))
 
+    def GenLissajousImpl(self, Lpt, xnd, znd, phideg, psideg, nplanrev,
+                         npo, t0=0.0):
+        """Linearized Lissajous initial guess about a collinear point
+        (reference `Astro/Extensions/CR3BPFrame.py:97`): in-plane frequency
+        s and amplitude ratio from the EOM Jacobian at the point, vertical
+        frequency from Ozz; states generated vectorized over the time grid.
+        """
+        import jax
+        import jax.numpy as jnp
+        args = Arguments(6)
+        func = self.CR3BPEOMs(args.head(3), args.tail(3))
+        X = np.zeros(6)
+        X[0:3] = Lpt
+        J = np.asarray(jax.jacfwd(func.trace)(jnp.asarray(X)))
+        Oxx, Oyy, Ozz = J[3, 0], J[4, 1], J[5, 2]
+        b1 = 2.0 - (Oxx + Oyy) / 2.0
+        b2sq = -Oxx * Oyy
+        s = np.sqrt(b1 + np.sqrt(b1 * b1 + b2sq))
+        b3 = (s * s + Oxx) / (2.0 * s)
+        pp = 2.0 * np.pi / s
+        nu = np.sqrt(abs(Ozz))
+        phi = np.deg2rad(phideg)
+        psi = np.deg2rad(psideg)
+        ynd = xnd * b3
+        ti = np.linspace(0.0, nplanrev * pp, int(npo))
+        st = np.zeros((int(npo), 7))
+        st[:, 0] = Lpt[0] - (ynd / b3) * np.cos(s * ti + phi)
+        st[:, 1] = Lpt[1] + ynd * np.sin(s * ti + phi)
+        st[:, 2] = Lpt[2] + znd * np.sin(nu * ti + psi)
+        st[:, 3] = (ynd / b3) * s * np.sin(s * ti + phi)
+        st[:, 4] = ynd * s * np.cos(s * ti + phi)
+        st[:, 5] = znd * nu * np.cos(nu * ti + psi)
+        st[:, 6] = t0 + ti
+        return [st[i] for i in range(st.shape[0])]
+
+    def GenL1Lissajous(self, xnd, znd, phideg, psideg, nplanrev, npo,
+                       t0=0.0):
+        return self.GenLissajousImpl(self.L1, xnd, znd, phideg, psideg,
+                                     nplanrev, npo, t0)
+
+    def GenL2Lissajous(self, xnd, znd, phideg, psideg, nplanrev, npo,
+                       t0=0.0):
+        return self.GenLissajousImpl(self.L2, xnd, znd, phideg, psideg,
+                                     nplanrev, npo, t0)
+
     def JacobiConstant(self, state):
         """C = 2U - v^2 for a state row [r, v, ...]."""
         mu = self.mu

@@ -111,6 +111,15 @@ class Integrator:
 
     def __init__(self, ode, defstep=0.01, controller=None, uvars=None,
                  method="DOPRI54"):
+        # reference overload: Integrator(ode, "DOPRI87", dt[, law, uvars])
+        if isinstance(defstep, str):
+            if isinstance(controller, (int, float)):
+                defstep, controller, uvars, method = (
+                    float(controller), uvars,
+                    method if not isinstance(method, str) else None,
+                    defstep)
+            else:
+                defstep, method = 0.01, defstep
         self.ode = ode
         self.DefStepSize = float(defstep)
         self.MinStepSize = self.DefStepSize * 1e-6
@@ -259,6 +268,170 @@ class Integrator:
 
         return integrate_row
 
+    def _make_core_events(self, evfuns, directions, stops, max_hits=4):
+        """Jittable/vmappable event-locating integrator (reference EventPack,
+        `Integrator.h:538-690`, whose detection + bisection runs inside the
+        propagation loop; here both live inside the jitted while_loop, so
+        batched manifold sweeps vmap cleanly).
+
+        evfuns: list of traced callables over the full row [x, t, u, p]
+        (trimmed to each function's input size).  Returns a function
+        (row, tf) -> (xf_row, hits (nev, max_hits, rowlen), counts (nev,)).
+        Integration stops at the first crossing of any event with stop=1."""
+        tab = RKCoeffs.get(self.method)
+        A = [np.asarray(r, np.float64) for r in tab["a"]]
+        b = np.asarray(tab["b"], np.float64)
+        bhat = None if tab["bhat"] is None else np.asarray(
+            tab["bhat"], np.float64)
+        c = np.asarray(tab["c"], np.float64)
+        order = tab["order"]
+        ns = len(tab["b"])
+        XV = self.ode.XVars()
+        UV = self.ode.UVars()
+        abst = np.asarray(self.AbsTols)
+        relt = np.asarray(self.RelTols)
+        hmin, hmax = self.MinStepSize, self.MaxStepSize
+        adaptive = self.Adaptive and bhat is not None
+        rhs = self._rhs
+        max_steps = self.MaxStepsPerCall
+        nev = len(evfuns)
+        dirs = np.asarray(directions, np.int64)
+        stops_np = np.asarray(stops, np.int64)
+        nbisect = 40
+
+        def step(x, t, h, u0, p):
+            ks = []
+            for i in range(ns):
+                xi = x
+                if i > 0:
+                    xi = x + h * sum(A[i][j] * ks[j] for j in range(i))
+                ks.append(rhs(xi, t + c[i] * h, u0, p))
+            ks = jnp.stack(ks)
+            xn = x + h * (b @ ks)
+            err = jnp.zeros(()) if bhat is None else h * ((b - bhat) @ ks)
+            return xn, err
+
+        def full_row(x, t, u0, p):
+            u = self._u_of(x, t, u0)
+            return jnp.concatenate([x, jnp.atleast_1d(t), u, p])
+
+        def ev_vals(x, t, u0, p):
+            row = full_row(x, t, u0, p)
+            return jnp.stack([jnp.atleast_1d(f(row))[0] for f in evfuns])
+
+        def locate(xp, tp, tn, v0s, u0, p, crossed):
+            """Bisect each crossed event on [tp, tn] from state xp: one RK
+            step per trial midpoint, vmapped over events."""
+            def vm_at(tm):
+                xm = jax.vmap(
+                    lambda tmi: step(xp, tp, tmi - tp, u0, p)[0])(tm)
+                return jnp.stack([
+                    jnp.atleast_1d(f(full_row(xm[i], tm[i], u0, p)))[0]
+                    for i, f in enumerate(evfuns)])
+
+            def bis(_, carry):
+                ta, tb = carry
+                tm = 0.5 * (ta + tb)
+                vm = vm_at(tm)
+                lo = v0s * vm <= 0       # crossing in [ta, tm]
+                ta2 = jnp.where(lo, ta, tm)
+                tb2 = jnp.where(lo, tm, tb)
+                keep = crossed
+                return (jnp.where(keep, ta2, ta), jnp.where(keep, tb2, tb))
+
+            ta0 = jnp.full((nev,), tp)
+            tb0 = jnp.full((nev,), tn)
+            ta, tb = jax.lax.fori_loop(0, nbisect, bis, (ta0, tb0))
+            return tb
+
+        def run(row, tf):
+            x0 = row[:XV]
+            t0 = row[XV]
+            u0 = row[XV + 1:XV + 1 + UV]
+            p = row[XV + 1 + UV:]
+            rowlen = row.shape[0]
+            sgn = jnp.sign(tf - t0)
+            sgn = jnp.where(sgn == 0, 1.0, sgn)
+            hits0 = jnp.zeros((nev, max_hits, rowlen))
+            counts0 = jnp.zeros((nev,), jnp.int64)
+            v00 = ev_vals(x0, t0, u0, p)
+
+            def cond(carry):
+                x, t, h, nst, ok, vprev, hits, counts, stop = carry
+                return (jnp.abs(tf - t) > 1e-14 * jnp.maximum(
+                    1.0, jnp.abs(tf))) & (nst < max_steps) & ok & ~stop
+
+            def body(carry):
+                x, t, h, nst, ok, vprev, hits, counts, stop = carry
+                hstep = sgn * jnp.minimum(h, jnp.abs(tf - t))
+                xn, err = step(x, t, hstep, u0, p)
+                if adaptive:
+                    tol = abst + jnp.abs(xn) * relt
+                    enorm = jnp.sqrt(jnp.mean((err / tol) ** 2))
+                    enorm = jnp.maximum(enorm, 1e-16)
+                    fac = jnp.clip(0.9 * enorm ** (-1.0 / order), 0.2, 5.0)
+                    hnew = jnp.clip(jnp.abs(hstep) * fac, hmin, hmax)
+                    accept = (enorm <= 1.0) | (jnp.abs(hstep) <= hmin * 1.01)
+                else:
+                    hnew = h
+                    accept = jnp.asarray(True)
+                tn = t + hstep
+                vn = ev_vals(xn, tn, u0, p)
+                rising = vn > vprev
+                dirok = (dirs == 0) | ((dirs > 0) & rising) | \
+                    ((dirs < 0) & ~rising)
+                crossed = accept & (vprev * vn < 0) & dirok \
+                    & (counts < max_hits)
+                any_cross = jnp.any(crossed)
+
+                def with_hits(args):
+                    hits, counts = args
+                    tcs = locate(x, t, tn, vprev, u0, p, crossed)
+
+                    def upd(i, hc):
+                        hits, counts = hc
+                        xc, _ = step(x, t, tcs[i] - t, u0, p)
+                        rowc = full_row(xc, tcs[i], u0, p)
+                        hits = jax.lax.cond(
+                            crossed[i],
+                            lambda h: jax.lax.dynamic_update_slice(
+                                h, rowc[None, None, :],
+                                (jnp.asarray(i, counts.dtype), counts[i],
+                                 jnp.zeros((), counts.dtype))),
+                            lambda h: h, hits)
+                        counts = counts.at[i].add(
+                            jnp.where(crossed[i], 1, 0))
+                        return hits, counts
+                    return jax.lax.fori_loop(0, nev, upd, (hits, counts))
+
+                hits, counts = jax.lax.cond(
+                    any_cross, with_hits, lambda a: a, (hits, counts))
+                stop = stop | jnp.any(crossed & (stops_np == 1))
+                x2 = jnp.where(accept, xn, x)
+                t2 = jnp.where(accept, tn, t)
+                v2 = jnp.where(accept, vn, vprev)
+                ok = jnp.isfinite(jnp.sum(x2))
+                return (x2, t2, hnew, nst + 1, ok, v2, hits, counts, stop)
+
+            init = (x0, t0, jnp.asarray(self.DefStepSize), 0,
+                    jnp.asarray(True), v00, hits0, counts0,
+                    jnp.asarray(False))
+            x, t, h, nst, ok, vp, hits, counts, stop = jax.lax.while_loop(
+                cond, body, init)
+            final = full_row(x, t, u0, p)
+            # when a stop-event fired, the terminal row is the earliest
+            # stopping crossing (reference stops AT the event)
+            last_rows = jnp.stack([
+                hits[i, jnp.maximum(counts[i] - 1, 0)] for i in range(nev)])
+            tcand = jnp.where((stops_np == 1) & (counts > 0),
+                              sgn * last_rows[:, XV], jnp.inf)
+            best = jnp.argmin(tcand)
+            use = stop & jnp.isfinite(tcand[best])
+            final = jnp.where(use, last_rows[best], final)
+            return final, hits, counts
+
+        return run
+
     def _get(self, key):
         f = self._jits.get(key)
         if f is None:
@@ -310,7 +483,43 @@ class Integrator:
         out = self._get("batch")(rows, tfs)
         return [np.asarray(r) for r in out]
 
-    def integrate_dense(self, x0, tf, nsteps=None, events=None):
+    def _norm_events(self, events):
+        """Normalize to [(func, direction, stop)] and classify: 'vf' when
+        every event is a VectorFunction (jittable path), else 'host'."""
+        if callable(events) or isinstance(events, VectorFunction):
+            events = [events]
+        evs = []
+        all_vf = True
+        for ev in events:
+            if isinstance(ev, (tuple, list)):
+                f, direction, stop = (list(ev) + [0, 0])[:3]
+            else:
+                f, direction, stop = ev, 0, 1
+            if not isinstance(f, VectorFunction):
+                all_vf = False
+            evs.append((f, int(direction), int(stop)))
+        return evs, all_vf
+
+    def _get_events(self, evs, max_hits):
+        """Cached jitted event-locating core for a normalized event list."""
+        key = ("ev", tuple(id(f) for f, d, s in evs),
+               tuple(d for f, d, s in evs), tuple(s for f, d, s in evs),
+               max_hits)
+        fn = self._jits.get(key)
+        if fn is None:
+            evfuns = [(lambda row, f=f: f.trace(row[:f.IRows()]))
+                      for f, d, s in evs]
+            core = self._make_core_events(
+                evfuns, [d for f, d, s in evs], [s for f, d, s in evs],
+                max_hits=max_hits)
+            fn = jax.jit(core)
+            self._jits[key] = fn
+            self._jits[("evb",) + key[1:]] = jax.jit(
+                jax.vmap(core, in_axes=(0, 0)))
+        return fn
+
+    def integrate_dense(self, x0, tf, nsteps=None, events=None,
+                        max_hits=4):
         # reference overloads: integrate_dense(x0, tf, [events...]) — a
         # list/tuple of events (or a bare callable) in the nsteps slot
         if events is None and nsteps is not None and not isinstance(
@@ -319,13 +528,29 @@ class Integrator:
         row = self._row(x0)
         t0 = row[self.ode.XVars()]
         if events:
+            evs, all_vf = self._norm_events(events)
+            tuple_form = isinstance(events, (list, tuple)) and any(
+                isinstance(e, (list, tuple)) for e in events)
+            if all_vf:
+                fn = self._get_events(evs, max_hits)
+                xf_row, hits, counts = fn(jnp.asarray(row),
+                                          jnp.asarray(float(tf)))
+                xf_row = np.asarray(xf_row)
+                counts = np.asarray(counts)
+                hits = np.asarray(hits)
+                tstop = xf_row[self.ode.XVars()]
+                n = nsteps or max(
+                    int(abs(tstop - t0) / self.DefStepSize) + 1, 2)
+                traj = self.integrate_dense(row, tstop, int(n))
+                traj[-1] = xf_row
+                eventlocs = [[hits[i, k] for k in range(int(counts[i]))]
+                             for i in range(len(evs))]
+                if tuple_form:
+                    return traj, eventlocs
+                return traj
             traj = self._integrate_dense_events(row, t0, float(tf),
                                                 nsteps, events)
-            # reference convention: (trajectory, event rows) when events are
-            # given as (func, dir, stop) tuples; plain trajectory for bare
-            # stop-callables (Goddard-style)
-            if isinstance(events, (list, tuple)) and any(
-                    isinstance(e, (list, tuple)) for e in events):
+            if tuple_form:
                 return traj, [traj[-1]]
             return traj
         if nsteps is None:
@@ -334,7 +559,48 @@ class Integrator:
         rows = self._get("dense")(jnp.asarray(row), ts)
         return [row.copy()] + [np.asarray(r) for r in rows]
 
-    def integrate_dense_parallel(self, x0s, tfs, nsteps=None):
+    def integrate_dense_parallel(self, x0s, tfs, events=None, ncores=None,
+                                 nsteps=None, max_hits=4):
+        # reference: integrate_dense_parallel(IGs, ts, events, nthreads) —
+        # the batch event sweep is ONE vmapped jit over all trajectories
+        if events is not None and not isinstance(events, (list, tuple)):
+            events = [events]
+        if events is not None and len(events) and not any(
+                isinstance(e, (tuple, list)) or
+                isinstance(e, VectorFunction) or callable(e)
+                for e in events):
+            events = None
+        if events:
+            evs, all_vf = self._norm_events(events)
+            if all_vf:
+                self._get_events(evs, max_hits)
+                key = ("evb", tuple(id(f) for f, d, s in evs),
+                       tuple(d for f, d, s in evs),
+                       tuple(s for f, d, s in evs), max_hits)
+                fnb = self._jits[key]
+                rows = jnp.asarray(np.stack([self._row(r) for r in x0s]))
+                tfa = jnp.asarray(np.asarray(tfs, dtype=np.float64))
+                xfs, hits, counts = fnb(rows, tfa)
+                xfs = np.asarray(xfs)
+                hits = np.asarray(hits)
+                counts = np.asarray(counts)
+                out = []
+                XV = self.ode.XVars()
+                for bi in range(len(x0s)):
+                    row = self._row(x0s[bi])
+                    t0 = row[XV]
+                    tstop = xfs[bi][XV]
+                    n = nsteps or max(
+                        int(abs(tstop - t0) / self.DefStepSize) + 1, 2)
+                    traj = self.integrate_dense(row, tstop, int(n))
+                    traj[-1] = xfs[bi]
+                    evlocs = [[hits[bi, i, k]
+                               for k in range(int(counts[bi, i]))]
+                              for i in range(len(evs))]
+                    out.append((traj, evlocs))
+                return out
+            return [self.integrate_dense(x, t, nsteps, events)
+                    for x, t in zip(x0s, tfs)]
         return [self.integrate_dense(x, t, nsteps)
                 for x, t in zip(x0s, tfs)]
 
@@ -343,7 +609,7 @@ class Integrator:
         xf, jac = self._get("stm")(jnp.asarray(row), jnp.asarray(float(tf)))
         return np.asarray(xf), np.asarray(jac)
 
-    def integrate_stm_parallel(self, x0s, tfs):
+    def integrate_stm_parallel(self, x0s, tfs, ncores=None):
         rows = jnp.asarray(np.stack([self._row(r) for r in x0s]))
         tfs = jnp.asarray(np.asarray(tfs, dtype=np.float64))
         xfs, jacs = self._get("stm_batch")(rows, tfs)

@@ -190,6 +190,16 @@ class OptimalControlProblem:
 
     # ------------------------------------------------------------ transcribe
     def transcribe(self, *_):
+        key = (tuple(p._structure_key() for p in self.Phases),
+               tuple(id(s) for s in self._link_specs),
+               self._link_params.size)
+        if getattr(self, "_nlp", None) is not None and \
+                key == getattr(self, "_ocp_struct_key", None):
+            # structure unchanged: refresh runtime consts only (the shifted
+            # families share the phase families' consts buffers)
+            for p in self.Phases:
+                p._refresh_consts(self._nlp)
+            return
         offsets = []
         off = 0
         for p in self.Phases:
@@ -243,6 +253,9 @@ class OptimalControlProblem:
                     print(f"  [kkt] falling back to dense backend: {e}")
                 kkt = None
         self.optimizer.setNLP(nlp, kkt)
+        self._ocp_struct_key = key
+        for p in self.Phases:
+            p._active_nlp = nlp
 
     @staticmethod
     def _shift(fam: IndexedFunction, offset):

@@ -594,15 +594,18 @@ class Phase:
     def _push_spec_data(self, si):
         """Propagate an updated spec.data into the live family consts (if
         transcribed), bumping the NLP consts version so the next jitted call
-        picks it up without retracing."""
-        if self._built is None or self._nlp is None:
+        picks it up without retracing.  Works for both a phase-owned NLP and
+        an OCP-owned NLP (the OCP shifts Vidx but shares the consts
+        buffers)."""
+        nlp = getattr(self, "_active_nlp", None) or self._nlp
+        if self._built is None or nlp is None:
             return
         spec = self._specs[si]
         for fam, sp in self._built:
             if sp is spec and getattr(fam, "_data_cols", None) is not None:
                 lo, nd = fam._data_cols
                 fam.consts[:, lo:lo + nd] = spec.data[None, :]
-        self._nlp.bump_consts()
+        nlp.bump_consts()
 
     def addPeriodicityCon(self, indices):
         idx = np.asarray(indices, dtype=np.int64).ravel()
@@ -1146,7 +1149,7 @@ class Phase:
                 self.AutoScaling, self.SPV, self.PV,
                 tuple(id(s) for s in self._specs))
 
-    def _refresh_consts(self):
+    def _refresh_consts(self, nlp=None):
         """Re-transcription without retracing: when the problem structure is
         unchanged (same segments/specs), only the runtime consts — mesh
         fractions from seg_bounds, lock/boundary data — need updating.
@@ -1167,7 +1170,7 @@ class Phase:
                     and getattr(fam, "_data_cols", None) is not None:
                 lo, nd = fam._data_cols
                 fam.consts[:, lo:lo + nd] = spec.data[None, :]
-        self._nlp.bump_consts()
+        (nlp or self._nlp).bump_consts()
 
     def transcribe(self, *_):
         key = self._structure_key()
@@ -1203,6 +1206,7 @@ class Phase:
                 kkt = None
         self.optimizer.setNLP(nlp, kkt)
         self._struct_key = key
+        self._active_nlp = nlp
         self._need_transcribe = False
 
     # --------------------------------------------------------- solve entries
