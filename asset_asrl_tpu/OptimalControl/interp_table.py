@@ -73,8 +73,11 @@ class LGLInterpTable:
     # -------------------------------------------------------------- queries
     def interp_traced(self, t):
         """Traced cubic-Hermite interpolation at scalar time t -> row of
-        all value columns."""
-        ts, vs, dvs = self._jts, self._jvals, self._jtan
+        all value columns.  The table data are numpy closure constants
+        (cheap jit lowering); convert here so traced indexing works."""
+        ts = jnp.asarray(self._jts)
+        vs = jnp.asarray(self._jvals)
+        dvs = jnp.asarray(self._jtan)
         t = jnp.clip(t, ts[0], ts[-1])
         k = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0,
                      len(self.ts) - 2)

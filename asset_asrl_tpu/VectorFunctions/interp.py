@@ -29,6 +29,7 @@ def _axis_weights_cubic(ts, x):
     Returns (i0, w) with w (4,) so value = sum_k w[k] * f[i0+k], using
     clamped end handling."""
     n = ts.shape[0]
+    ts = jnp.asarray(ts)
     x = jnp.clip(x, ts[0], ts[-1])
     j = jnp.clip(jnp.searchsorted(ts, x, side="right") - 1, 0, n - 2)
     t0 = ts[j]
@@ -80,6 +81,7 @@ def _axis_weights_cubic(ts, x):
 
 def _axis_weights_linear(ts, x):
     n = ts.shape[0]
+    ts = jnp.asarray(ts)
     x = jnp.clip(x, ts[0], ts[-1])
     j = jnp.clip(jnp.searchsorted(ts, x, side="right") - 1, 0, n - 2)
     s = (x - ts[j]) / (ts[j + 1] - ts[j])
@@ -113,8 +115,9 @@ class _InterpTableND:
             i, w = wfun(ax, x)
             idxs.append(i)
             wts.append(w)
-        # tensor-product contraction over the gathered hypercube
-        vals = self.data
+        # tensor-product contraction over the gathered hypercube (data is a
+        # numpy closure constant; convert for traced gather indexing)
+        vals = jnp.asarray(self.data)
         grids = jnp.meshgrid(*idxs, indexing="ij")
         cube = vals[tuple(grids)]
         for w in reversed(wts):
