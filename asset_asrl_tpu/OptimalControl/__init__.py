@@ -9,3 +9,4 @@ from .ocp import OptimalControlProblem, LinkFlags
 from .interp_table import (LGLInterpTable, InterpFunction,
                            InterpFunction_1, InterpFunction_3,
                            InterpFunction_6)
+from .fdtable import FiniteDiffTable, FDiffData

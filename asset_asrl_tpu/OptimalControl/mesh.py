@@ -103,8 +103,108 @@ def _integrator_errors(phase):
     return errs
 
 
+def _deboor_error_weight(sch, cs):
+    """Hermite interpolation error constant for the scheme's cardinal taus:
+    max over [0,1] of |prod_j (s - tau_j)^2| / (2cs)! — each cardinal state
+    is matched in value and derivative, so the remainder carries the node
+    polynomial squared (reference LGLCoeffs<CS>::ErrorWeight; derived here
+    numerically instead of hard-coded)."""
+    import math
+    s = np.linspace(0.0, 1.0, 4001)
+    w = np.ones_like(s)
+    for tc in sch.cardinal_tau:
+        w *= (s - tc) ** 2
+    return float(np.max(np.abs(w)) / math.factorial(2 * cs))
+
+
+def _deboor_errors(phase):
+    """De Boor derivative-jump estimator (reference get_meshinfo_deboor,
+    `src/OptimalControl/ODEPhase.h:444-560`): per segment, estimate the
+    deg-th derivative of the Hermite interpolant from its leading
+    coefficient; jumps between neighboring segments estimate the
+    (deg+1)-th derivative; error_k = |d^(deg+1)x| * h_k^(deg+1) * C.
+
+    Vectorized: one Vandermonde solve in local sigma-space serves every
+    segment."""
+    sch = phase._scheme
+    cs = phase._cs
+    XV = phase.XV
+    deg = 2 * cs - 1
+    import math
+    T = phase.tf - phase.t0
+    traj = phase._traj
+    S = phase.numSegs
+
+    # node derivatives f_i (BlockConstant: last node evaluated with the
+    # segment's block control, reference ODEPhase.h:533-546 — the traj rows
+    # already carry the block control after collectSolverOutput)
+    rows = np.concatenate(
+        [traj, np.tile(phase._odeparams, (traj.shape[0], 1))], axis=1)
+    import jax
+    fs_all = np.asarray(jax.vmap(phase.ode.vf().trace)(rows))[:, :XV]
+
+    # local Hermite: p(sig) matches (x_j, h f_j) at cardinal taus
+    A = np.zeros((2 * cs, deg + 1))
+    for j, tc in enumerate(sch.cardinal_tau):
+        A[j] = tc ** np.arange(deg + 1)
+        r = np.zeros(deg + 1)
+        r[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
+        A[cs + j] = r
+    Ainv = np.linalg.inv(A)
+
+    hs = np.diff(phase.seg_bounds) * T                       # (S,)
+    xs = traj[phase.seg_nodes, :XV]                          # (S, cs, XV)
+    fs = fs_all[phase.seg_nodes]                             # (S, cs, XV)
+    rhs = np.concatenate([xs, hs[:, None, None] * fs], axis=1)
+    coef = np.einsum("ij,sjx->six", Ainv, rhs)               # (S,deg+1,XV)
+    # deg-th time derivative estimate on each segment
+    y = coef[:, deg, :] * math.factorial(deg) / \
+        np.abs(hs[:, None]) ** deg                           # (S, XV)
+
+    errs = np.zeros(S)
+    EW = _deboor_error_weight(sch, cs)
+    for k in range(S):
+        if 0 < k < S - 1:
+            e = np.abs((y[k] - y[k - 1]) / (hs[k] + hs[k - 1])) \
+                + np.abs((y[k + 1] - y[k]) / (hs[k] + hs[k + 1]))
+        elif k == 0:
+            e = np.abs(2 * (y[1] - y[0]) / (hs[0] + hs[1])) if S > 1 \
+                else np.abs(y[0])
+        else:
+            e = np.abs(2 * (y[k] - y[k - 1]) / (hs[k] + hs[k - 1]))
+        errs[k] = float(np.max(e)) * np.abs(hs[k]) ** (deg + 1) * EW
+    return errs
+
+
+def detect_switches(phase, jump_tol=0.1):
+    """Control-switch detection (reference calcSwitches,
+    `ODEPhaseBase.cpp:1544-1584`): normalized segment boundaries where a
+    control column jumps by more than jump_tol of its range."""
+    UV = phase.UV
+    if UV == 0 or phase.numSegs < 3:
+        return np.zeros(0)
+    cs = phase._cs
+    traj = phase._traj
+    switches = []
+    for j in range(UV):
+        u = traj[:, phase.XV + 1 + j]
+        rng = np.max(u) - np.min(u)
+        if rng <= 0:
+            continue
+        # jump of control across each interior segment boundary
+        for k in range(1, phase.numSegs):
+            nl = phase.seg_nodes[k - 1]
+            nr = phase.seg_nodes[k]
+            du = abs(u[nr[min(1, cs - 1)]] - u[nl[max(cs - 2, 0)]])
+            if du / rng > jump_tol:
+                switches.append(phase.seg_bounds[k])
+    return np.unique(np.asarray(switches))
+
+
 def segment_errors(phase):
     est = phase.MeshErrorEstimator
+    if est in ("deboor", "polynomial"):
+        return _deboor_errors(phase)
     if est == "integrator":
         try:
             return _integrator_errors(phase)
@@ -143,6 +243,15 @@ def update_mesh(phase, errs):
 
     # density ~ local error^(1/(order+1)), piecewise constant per old segment
     dens = np.maximum(errs, 1e-14) ** (1.0 / (order + 1))
+    # control-switch detection: concentrate mesh density around detected
+    # control discontinuities (reference calcSwitches)
+    if getattr(phase, "DetectControlSwitches", False):
+        sw = detect_switches(phase, getattr(phase, "SwitchTol", 0.1))
+        for tsw in sw:
+            k = np.clip(np.searchsorted(phase.seg_bounds, tsw) - 1, 0,
+                        phase.numSegs - 1)
+            for kk in (k, min(k + 1, phase.numSegs - 1)):
+                dens[kk] = max(dens[kk], np.max(dens) * 2.0)
     widths = np.diff(phase.seg_bounds)
     cum = np.concatenate([[0.0], np.cumsum(dens * widths)])
     cum /= cum[-1]
@@ -172,34 +281,7 @@ def adaptive_mesh_loop(phase, method, flag):
             return flag
         n_new, bounds = update_mesh(phase, errs)
         traj = phase.returnTraj()
-        phase.setTraj(traj, n_new)
-        # install non-uniform bounds from error equidistribution
-        phase._node_structure(n_new)
-        phase.seg_bounds = bounds
-        taus = [0.0]
-        for k in range(n_new):
-            a, b = bounds[k], bounds[k + 1]
-            for ct in phase._scheme.cardinal_tau[1:]:
-                taus.append(a + ct * (b - a))
-        phase.taus = np.asarray(taus)
-        phase.setTraj(traj, n_new)
-        # setTraj resets structure to uniform; re-apply bounds then re-interp
-        phase._node_structure(n_new)
-        phase.seg_bounds = bounds
-        phase.taus = np.asarray(taus)
-        tcol = np.asarray([r[phase.XV] for r in traj])
-        span = tcol[-1] - tcol[0] if tcol[-1] != tcol[0] else 1.0
-        tau_ig = np.maximum.accumulate((tcol - tcol[0]) / span)
-        igm = np.asarray(traj)
-        node_rows = np.empty((phase.numNodes, phase.XV + 1 + phase.UV))
-        for c in range(phase.XV):
-            node_rows[:, c] = np.interp(phase.taus, tau_ig, igm[:, c])
-        node_rows[:, phase.XV] = tcol[0] + phase.taus * span
-        for j in range(phase.UV):
-            node_rows[:, phase.XV + 1 + j] = np.interp(
-                phase.taus, tau_ig, igm[:, phase.XV + 1 + j])
-        phase._traj = node_rows
-        phase._need_transcribe = True
+        phase.setTraj(traj, n_new, seg_bounds=bounds)
         flag = phase._psipot_call(method)
     phase.MeshConverged = False
     return flag

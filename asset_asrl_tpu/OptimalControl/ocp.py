@@ -425,7 +425,7 @@ class OptimalControlProblem:
                     all_ok = False
                     n_new, bounds = update_mesh(p, errs)
                     traj = p.returnTraj()
-                    p.setTraj(traj, n_new)
+                    p.setTraj(traj, n_new, seg_bounds=bounds)
             if all_ok:
                 return flag
             self.transcribe()

@@ -122,6 +122,9 @@ class Phase:
         self.MaxSegments = 10000
         self.MeshErrFactor = 10.0
         self.MeshConverged = False
+        self.DetectControlSwitches = False
+        self.SwitchTol = 0.1
+        self.NumExtraAddsPerSwitch = 4
         self.AutoScaling = False
         self._units = None
         self.Threads = 1
@@ -142,8 +145,12 @@ class Phase:
             self.setTraj(IG, max(len(IG) - 1, 4))
 
     # ------------------------------------------------------------------ mesh
-    def _node_structure(self, numsegs):
-        """Set nodes-per-segment layout and normalized node times."""
+    def _node_structure(self, numsegs, seg_bounds=None):
+        """Set nodes-per-segment layout and normalized node times.
+
+        seg_bounds: optional (numsegs+1,) non-uniform normalized segment
+        boundaries (error-equidistributed meshes from adaptive refinement);
+        default uniform."""
         tm = self.TranscriptionMode
         S = int(numsegs)
         if tm in ("LGL3", "Trapezoidal", "CentralShooting"):
@@ -158,7 +165,14 @@ class Phase:
         self._scheme = get_scheme("LGL3" if cs == 2 else tm)
         self.numSegs = S
         self.numNodes = S * (cs - 1) + 1
-        bounds = np.linspace(0.0, 1.0, S + 1)
+        if seg_bounds is None:
+            bounds = np.linspace(0.0, 1.0, S + 1)
+        else:
+            bounds = np.asarray(seg_bounds, np.float64)
+            if bounds.shape != (S + 1,):
+                raise ValueError(
+                    f"seg_bounds must have {S + 1} entries, got "
+                    f"{bounds.shape}")
         taus = [0.0]
         for k in range(S):
             a, b = bounds[k], bounds[k + 1]
@@ -204,7 +218,12 @@ class Phase:
         return self.numNodes * self._m + 2 + self.PV + self.SPV
 
     # ------------------------------------------------------------------- IG
-    def setTraj(self, IG, numsegs=None, *args):
+    def setTraj(self, IG, numsegs=None, *args, seg_bounds=None):
+        # reference overload setTraj(IG, nsegs, SegBins/DistFunc): a
+        # non-uniform bounds array may also come positionally
+        if args and seg_bounds is None and args[0] is not None \
+                and not isinstance(args[0], (bool, int)):
+            seg_bounds = np.asarray(args[0], np.float64)
         IG = np.asarray([np.asarray(r, dtype=np.float64).ravel() for r in IG])
         need = self.XV + 1 + self.UV
         if IG.shape[1] < need:
@@ -213,7 +232,7 @@ class Phase:
         if numsegs is None:
             numsegs = self._numsegs or max(len(IG) - 1, 4)
         self._numsegs = int(numsegs)
-        self._node_structure(self._numsegs)
+        self._node_structure(self._numsegs, seg_bounds=seg_bounds)
         tcol = IG[:, self.XV]
         self.t0 = float(tcol[0])
         self.tf = float(tcol[-1])
@@ -296,6 +315,12 @@ class Phase:
 
     def setMaxMeshIters(self, n):
         self.MaxMeshIters = int(n)
+
+    def setControlSwitchDetection(self, flag=True, tol=0.1, extra=4):
+        """Reference calcSwitches knobs (`ODEPhaseBase.cpp:1544`)."""
+        self.DetectControlSwitches = bool(flag)
+        self.SwitchTol = float(tol)
+        self.NumExtraAddsPerSwitch = int(extra)
 
     def setMeshErrorEstimator(self, est):
         self.MeshErrorEstimator = str(est)
@@ -438,6 +463,8 @@ class Phase:
         fun = self._region_input_fun(user_fun, len(apps[0]),
                                      with_data=data is not None)
         fam = IndexedFunction(fun, Vidx, consts, name=name)
+        fam._region = region
+        fam._ntau = ntau
         if data is not None:
             fam._data_cols = (ntau, data.size)
         return fam
@@ -1166,6 +1193,10 @@ class Phase:
                 fam.consts[:, 0] = self.seg_bounds[:-2]
                 fam.consts[:, 1] = self.seg_bounds[1:-1]
                 fam.consts[:, 2] = self.seg_bounds[2:]
+            elif getattr(fam, "_region", None) is not None:
+                # region families: node taus move with non-uniform bounds
+                apps, taus = self._region_apps(fam._region)
+                fam.consts[:, :fam._ntau] = np.asarray(taus, np.float64)
             if spec is not None and spec.data is not None \
                     and getattr(fam, "_data_cols", None) is not None:
                 lo, nd = fam._data_cols
