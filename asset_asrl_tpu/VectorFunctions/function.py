@@ -396,6 +396,37 @@ class VectorFunction:
         return VectorFunction(lambda x: jnp.cross(f(x), g(x)),
                               self._ir, 3, name="cross")
 
+    def cwiseProduct(self, other):
+        """Elementwise product with a same-size function or constant vector
+        (reference CwiseProduct, `CommonFunctions/CwiseProduct.h`)."""
+        if not isinstance(other, VectorFunction):
+            arr = np.asarray(other, np.float64).ravel()
+            f = self._fn
+            return VectorFunction(lambda x: jnp.atleast_1d(f(x)) * arr,
+                                  self._ir, self._orr, name="cwiseProduct")
+        other = _stack_arg(other, irows=self._ir)
+        if other.ORows() != self._orr:
+            raise ValueError("cwiseProduct: output sizes differ")
+        f, g = self._fn, other._fn
+        return VectorFunction(
+            lambda x: jnp.atleast_1d(f(x)) * jnp.atleast_1d(g(x)),
+            self._ir, self._orr, name="cwiseProduct")
+
+    def cwiseQuotient(self, other):
+        """Elementwise quotient (reference CwiseQuotient)."""
+        if not isinstance(other, VectorFunction):
+            arr = np.asarray(other, np.float64).ravel()
+            f = self._fn
+            return VectorFunction(lambda x: jnp.atleast_1d(f(x)) / arr,
+                                  self._ir, self._orr, name="cwiseQuotient")
+        other = _stack_arg(other, irows=self._ir)
+        if other.ORows() != self._orr:
+            raise ValueError("cwiseQuotient: output sizes differ")
+        f, g = self._fn, other._fn
+        return VectorFunction(
+            lambda x: jnp.atleast_1d(f(x)) / jnp.atleast_1d(g(x)),
+            self._ir, self._orr, name="cwiseQuotient")
+
     def norm(self):
         f = self._fn
         return VectorFunction(
