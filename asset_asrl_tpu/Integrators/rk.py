@@ -557,7 +557,15 @@ class Integrator:
             nsteps = max(int(abs(float(tf) - t0) / self.DefStepSize) + 1, 2)
         ts = jnp.asarray(np.linspace(t0, float(tf), int(nsteps))[1:])
         rows = self._get("dense")(jnp.asarray(row), ts)
-        return [row.copy()] + [np.asarray(r) for r in rows]
+        row0 = row.copy()
+        if self._controller is not None and self.ode.UVars():
+            # the control-law closure defines u everywhere, including t0
+            # (reference controller integrators overwrite the seed controls)
+            XV, UV = self.ode.XVars(), self.ode.UVars()
+            u0 = self._u_of(jnp.asarray(row[:XV]), jnp.asarray(row[XV]),
+                            jnp.asarray(row[XV + 1:XV + 1 + UV]))
+            row0[XV + 1:XV + 1 + UV] = np.asarray(u0)
+        return [row0] + [np.asarray(r) for r in rows]
 
     def integrate_dense_parallel(self, x0s, tfs, events=None, ncores=None,
                                  nsteps=None, max_hits=4):

@@ -112,7 +112,7 @@ class OptimalControlProblem:
         i1 = self._phase_index(p1)
         if i1 < 0:
             i1 = len(self.Phases) + i1
-        vars_ = list(np.asarray(list(vars_), dtype=np.int64).ravel())
+        vars_ = list(self.Phases[i0]._resolve_idx(vars_))
         for k in range(i0, i1):
             self.addDirectLinkEqualCon(k, "Back", vars_, k + 1, "Front",
                                        vars_)

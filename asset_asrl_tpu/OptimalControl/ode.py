@@ -122,6 +122,25 @@ class ODEBase:
                 vals.append(int(v))
         return np.asarray(vals, dtype=np.int64)
 
+    def make_input(self, **kwargs):
+        """Full [x, t, u, p] input row from named Vgroup values (reference
+        UpdatedInterface `ode.make_input(h=0, v=0, m=m0, u=1)`)."""
+        row = np.zeros(self.XtUPVars())
+        for name, val in kwargs.items():
+            idxs = self.Vgroups[str(name)]
+            row[idxs] = np.asarray(val, np.float64)
+        return row
+
+    def make_units(self, **kwargs):
+        """Canonical-unit row per XtUP variable from named Vgroup units
+        (consumed by phase.setUnits; reference `ode.make_units(h=Lstar,...)`)."""
+        units = np.ones(self.XtUPVars())
+        for name, val in kwargs.items():
+            idxs = self.Vgroups[str(name)]
+            units[idxs] = float(val) if np.isscalar(val) else \
+                np.asarray(val, np.float64)
+        return units
+
     # counts
     def XVars(self):
         return self.XV

@@ -600,8 +600,14 @@ class Phase:
         if not hit:
             raise ValueError(
                 f"subVariables: no value lock covering {region} {idx}")
-        # reflect into the active trajectory (reference substitutes into
-        # ActiveTraj so makeSolverInput is consistent with the lock)
+        # reflect into the active trajectory / params (reference substitutes
+        # into ActiveTraj so makeSolverInput is consistent with the lock)
+        if region == "StaticParams":
+            self._static_params[idx] = values
+            return self._push_spec_data(si)
+        if region == "ODEParams":
+            self._odeparams[idx] = values
+            return self._push_spec_data(si)
         row = {"Front": 0, "Back": self.numNodes - 1}.get(region)
         if row is not None and self._traj is not None:
             per = self.XV + 1 + self.UV
@@ -644,11 +650,17 @@ class Phase:
 
     def _values_at_region(self, region, indices):
         region = _canon_region(region)
+        idx = np.asarray(indices, dtype=np.int64)
+        if region == "StaticParams":
+            return self._static_params[idx]
+        if region == "ODEParams":
+            return self._odeparams[idx]
         row = {"Front": 0, "Back": self.numNodes - 1}.get(region)
         if row is None:
-            raise ValueError("addValueLock supports Front/Back")
+            raise ValueError(
+                "addValueLock supports Front/Back/StaticParams/ODEParams")
         full = np.concatenate([self._traj[0 if row == 0 else -1]])
-        return full[np.asarray(indices, dtype=np.int64)]
+        return full[idx]
 
     # bounds ----------------------------------------------------------------
     def addLUVarBound(self, region, var, lb, ub, scale=1.0):

@@ -434,6 +434,13 @@ class VectorFunction:
             if False else jnp.atleast_1d(jnp.sqrt(jnp.sum(jnp.square(f(x))))),
             self._ir, 1, name="norm")
 
+    def squared(self):
+        """Elementwise square (reference `.squared()` on scalar funcs)."""
+        f = self._fn
+        return VectorFunction(
+            lambda x: jnp.square(jnp.atleast_1d(f(x))),
+            self._ir, self._orr, name="squared")
+
     def squared_norm(self):
         f = self._fn
         return VectorFunction(
