@@ -38,6 +38,7 @@ class CR3BPFrame:
         self.P1mu = P1mu
         self.P2mu = P2mu
         self.lstar = lstar
+        self.mustar = P1mu + P2mu
         self.mu = P2mu / (P1mu + P2mu)
         self.tstar = np.sqrt(lstar ** 3 / (P1mu + P2mu))
         self.vstar = lstar / self.tstar

@@ -134,6 +134,20 @@ class Integrator:
         self.VectorizeBatchCalls = True
         self.method = method
         self._controller = controller
+        if uvars is not None:
+            # Vgroup names resolve through the ODE (reference
+            # UpdatedInterface: integ = ode.integrator(dt, law, "m"))
+            groups = getattr(ode, "Vgroups", {}) or {}
+            if isinstance(uvars, str):
+                uvars = list(groups[uvars])
+            else:
+                out = []
+                for v in uvars:
+                    if isinstance(v, str):
+                        out.extend(groups[v])
+                    else:
+                        out.append(int(v))
+                uvars = out
         self._uvars = None if uvars is None else list(uvars)
         self._jits = {}
 

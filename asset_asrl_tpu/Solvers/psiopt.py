@@ -121,11 +121,19 @@ class PSIOPT:
         self.FastFactorAlg = True
         self.gammaE = 1.0e-10   # dual regularization (quasi-definiteness)
         self.gammaI = 1.0e-10
-        self.CNRMode = False
-        self.storespmat = False
-        self.WideConsole = False
+        self.CNRMode = False          # disable ANSI colors in the console
+        self.storespmat = False       # keep the last factored KKT blocks
+        self.LastKKTBlocks = None
+        self.WideConsole = False      # wider iterate table
         self.ReturnBest = False
         self.BestCriteria = "ECons"
+        # user callbacks (reference EarlyCallBack/LateCallBack,
+        # `src/Solvers/PSIOPT.h:432-448`): called with a dict of the
+        # iterate record.  On the fused device loop the callback fires
+        # once per SOLVE with the full iterate history (per-iteration
+        # callbacks would force a host sync each iteration).
+        self.EarlyCallBack = None
+        self.LateCallBack = None
         # Use the fused device-resident while_loop solver for BlockKKT
         # backends (one dispatch per solve); the host loop remains for the
         # dense backend and for debugging.
@@ -332,18 +340,50 @@ class PSIOPT:
                                             ConvergenceFlags.ACCEPTABLE):
             x, s, lamE, lamI = bx, bs_, blE, blI
         self.LastIterNum += niters
+        if callable(self.LateCallBack):
+            self.LateCallBack(dict(mode=mode, flag=flag, iters=niters,
+                                   infos=infos, x=np.asarray(x),
+                                   lamE=np.asarray(lamE),
+                                   lamI=np.asarray(lamI)))
         if self.PrintLevel == 0:
-            for i, row in enumerate(infos):
-                print(f"  [{mode}] it {i:3d} obj {row[0]:+.6e} "
-                      f"kkt {row[1]:8.2e} econ {row[2]:8.2e} "
-                      f"icon {row[3]:8.2e} barr {row[4]:8.2e} "
-                      f"mu {row[5]:8.2e} a {row[6]:5.3f} f {int(row[7])}")
+            self._print_iterate_table(mode, infos)
         if self.PrintLevel <= 1:
             r = infos[-1]
             print(f"PSIOPT [{mode}] {ConvergenceFlags._names[flag]} in "
                   f"{len(infos)} iters: obj {r[0]:+.8e} kkt {r[1]:.2e} "
                   f"econ {r[2]:.2e} icon {r[3]:.2e} barr {r[4]:.2e}")
         return x, s, lamE, lamI, flag
+
+    # --------------------------------------------------------- console table
+    def _print_iterate_table(self, mode, infos):
+        """Reference print_last_iterate console scroll
+        (`src/Solvers/PSIOPT.cpp:238`): fixed-width iterate table; colors
+        unless CNRMode; WideConsole adds the factorization columns."""
+        use_color = not self.CNRMode
+        GRN, RED, CYN, END = ("\033[92m", "\033[91m", "\033[96m",
+                              "\033[0m") if use_color else ("",) * 4
+        cols = ["iter", "objective", "KKT-inf", "ECons-inf", "ICons-inf",
+                "barrier", "mu", "alpha"]
+        if self.WideConsole:
+            cols += ["nfacs", "Hpert"]
+        w = [5, 15, 10, 10, 10, 10, 9, 7, 6, 9]
+        head = " ".join(f"{c:>{w[i]}}" for i, c in enumerate(cols))
+        print(f"{CYN}[{mode}] {head}{END}")
+        rows = infos if isinstance(infos, (list, tuple)) else list(infos)
+        for i, r in enumerate(rows):
+            if isinstance(r, dict):
+                vals = [r["obj"], r["kkt"], r["econ"], r["icon"], r["barr"],
+                        r["mu"], r["alpha"], r["nfacs"], r["hpert"]]
+            else:
+                vals = list(r[:9])
+            ok = vals[2] < self.EContol and vals[1] < self.KKTtol
+            C = GRN if ok else ""
+            line = (f"{i:>5d} {vals[0]:>+15.8e} {vals[1]:>10.2e} "
+                    f"{vals[2]:>10.2e} {vals[3]:>10.2e} {vals[4]:>10.2e} "
+                    f"{vals[5]:>9.1e} {vals[6]:>7.3f}")
+            if self.WideConsole:
+                line += f" {int(vals[7]):>6d} {vals[8]:>9.1e}"
+            print(f"{C}{line}{END if C else ''}")
 
     # ------------------------------------------------------------- main loop
     def _alg_impl(self, mode, x, s, lamE, lamI):
@@ -495,6 +535,13 @@ class PSIOPT:
                               econ=econinf, icon=iconinf, barr=barrinf,
                               mu=Mu, alpha=alpha, nfacs=nfacs,
                               hpert=nhpert))
+            if callable(self.EarlyCallBack):
+                # reference early callback: per-iteration, receives the
+                # iterate and step data (`PSIOPT.h:432-448`)
+                self.EarlyCallBack(dict(
+                    mode=mode, x=np.asarray(x), dx=np.asarray(dx),
+                    lamE=np.asarray(lamE), lamI=np.asarray(lamI),
+                    info=infos[-1]))
             if self.PrintLevel == 0:
                 i0 = infos[-1]
                 print(f"  [{mode}] it {it:3d} obj {i0['obj']:+.6e} "

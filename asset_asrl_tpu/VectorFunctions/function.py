@@ -468,13 +468,20 @@ class VectorFunction:
             return v / jnp.sum(jnp.square(v))
         return VectorFunction(impl, self._ir, self._orr, name="normalized_power2")
 
-    def normalized_power3(self):
-        """v / |v|^3 (two-body gravity kernel shape)."""
+    def normalized_power3(self, offset=None, scale=None):
+        """v / |v|^3 (two-body gravity kernel shape).
+
+        Optional (offset, scale) form (reference NormalizedPower3 overload,
+        used by frame EOMs): scale * (v + offset) / |v + offset|^3."""
         f = self._fn
+        off = None if offset is None else np.asarray(offset, np.float64)
+        sc = 1.0 if scale is None else float(scale)
         def impl(x):
             v = jnp.atleast_1d(f(x))
+            if off is not None:
+                v = v + off
             n2 = jnp.sum(jnp.square(v))
-            return v / (n2 * jnp.sqrt(n2))
+            return sc * v / (n2 * jnp.sqrt(n2))
         return VectorFunction(impl, self._ir, self._orr, name="normalized_power3")
 
     def normalized_power4(self):

@@ -86,7 +86,7 @@ def TargetOrbit(at, et, it, Ot, Wt):
     return vf.stack([a, e, i, O, W]) - np.array([at, et, it, Ot, Wt])
 
 
-if __name__ == "__main__":
+def build_ocp(nsegs=40, print_level=1):
     at = 24361140 / Lstar
     et = .7308
     Ot = np.deg2rad(269.8)
@@ -118,7 +118,7 @@ if __name__ == "__main__":
     odes = [RocketODE(T_phase[i], mdot_phase[i]) for i in range(4)]
     phases = []
     for i in range(4):
-        p = odes[i].phase("LGL3", IGs[i], 40)
+        p = odes[i].phase("LGL3", IGs[i], nsegs)
         p.setControlMode("HighestOrderSpline")
         p.addLUNormBound("Path", [8, 9, 10], .5, 1.5)
         if i == 0:
@@ -144,8 +144,13 @@ if __name__ == "__main__":
     ocp.optimizer.set_OptLSMode("L1")
     ocp.optimizer.set_SoeLSMode("L1")
     ocp.optimizer.set_MaxLSIters(2)
-    ocp.optimizer.PrintLevel = 1
+    ocp.optimizer.PrintLevel = print_level
+    return ocp
 
+
+if __name__ == "__main__":
+    ocp = build_ocp()
+    phases = ocp.Phases
     ocp.solve_optimize()
     mfinal = phases[3].returnTraj()[-1][6] * Mstar
     print("final mass (kg):", mfinal, "(reference 7529.75)")

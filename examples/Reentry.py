@@ -66,7 +66,8 @@ def QFunc():
     return qa * qr
 
 
-if __name__ == "__main__":
+def run_reentry(nsegs=40, adaptive=False, estimator="deboor",
+                print_level=1, heat_constrained=True):
     tf = 1000 / Tstar
     ht0, htf = 260000 / Lstar, 80000 / Lstar
     vt0, vtf = 25600 / Vstar, 2500 / Vstar
@@ -96,22 +97,34 @@ if __name__ == "__main__":
     phase.addDeltaVarObjective(1, -1.0)
     phase.optimizer.set_SoeLSMode("L1")
     phase.optimizer.set_OptLSMode("L1")
-    phase.optimizer.PrintLevel = 1
+    phase.optimizer.PrintLevel = print_level
+    if adaptive:
+        phase.setAdaptiveMesh(True)
+        phase.setMeshTol(1.0e-6)
+        phase.setMeshErrorEstimator(estimator)
 
     phase.solve_optimize()
-    phase.refineTrajManual(200)
-    phase.optimize()
+    if not adaptive:
+        phase.refineTrajManual(200)
+        phase.optimize()
     Traj1 = phase.returnTraj()
     print("unconstrained crossrange (deg):",
           np.rad2deg(Traj1[-1][1]), "(Betts: 34.141)")
 
-    # heating-rate-constrained variant, warm-started from above
-    phase.addUpperFuncBound("Path", QFunc(), [0, 2, 6], Qlimit, 1 / Qlimit)
-    phase.optimize()
-    Traj2 = phase.returnTraj()
-    print("heat-constrained crossrange (deg):",
-          np.rad2deg(Traj2[-1][1]), "(Betts: 30.63)")
+    Traj2 = None
+    if heat_constrained:
+        # heating-rate-constrained variant, warm-started from above
+        phase.addUpperFuncBound("Path", QFunc(), [0, 2, 6], Qlimit,
+                                1 / Qlimit)
+        phase.optimize()
+        Traj2 = phase.returnTraj()
+        print("heat-constrained crossrange (deg):",
+              np.rad2deg(Traj2[-1][1]), "(Betts: 30.63)")
+    return Traj1, Traj2, phase
 
+
+if __name__ == "__main__":
+    Traj1, Traj2, phase = run_reentry()
     try:
         import matplotlib.pyplot as plt
         for T, lab in ((Traj1, "no Q limit"), (Traj2, "Q <= 70")):
