@@ -38,7 +38,8 @@ from ..config import DEFAULT_DTYPE
 from .kkt_block import (bcr_factor, bcr_reduce_rhs, bcr_backsub, bcr_solve,
                         _factor_dtype)
 
-__all__ = ["sharded_factor", "sharded_solve", "pad_chain"]
+__all__ = ["sharded_factor", "sharded_solve", "pad_chain",
+           "ShardedBlockKKT"]
 
 
 def pad_chain(diag, lower, B, C, D):
@@ -135,16 +136,19 @@ def sharded_factor(diag, lower, B, C, mesh, axis="seg", fdtype=None):
         out_specs=(spec_l, P(), P(axis)),
         check_vma=False,
     )(diag, lower, B, C)
-    return dict(loc=fac_loc, red=fac_red, W=W, b=b,
-                b_orig=b_orig), neigs[0]
+    # metadata stays OUT of the returned dict: the fused solver carries
+    # fac through lax.while_loop, which would turn python ints into tracers
+    return dict(loc=fac_loc, red=fac_red), neigs[0]
 
 
 def sharded_solve(fac, rhs_blocks, rhs_border, mesh, axis="seg"):
     """Solve with a sharded_factor result.
 
     rhs_blocks (D*L, W) padded; rhs_border (b,) replicated."""
-    W, b = fac["W"], fac["b"]
-    if fac["b_orig"] == 0:
+    W = fac["loc"]["D0inv"].shape[-1]
+    b = fac["red"]["Cinv"].shape[-1]
+    b_orig = 0 if rhs_border.shape[0] == 0 else b
+    if b_orig == 0:
         rhs_border = jnp.zeros((1,), rhs_blocks.dtype)
     D = mesh.shape[axis]
 
@@ -182,6 +186,114 @@ def sharded_solve(fac, rhs_blocks, rhs_border, mesh, axis="seg"):
         check_vma=False,
     )(fac["loc"], fac["red"], rhs_blocks, rhs_border)
     z = z[0]
-    if fac["b_orig"] == 0:
+    if b_orig == 0:
         z = z[:0]
     return y, z
+
+
+class ShardedBlockKKT:
+    """Drop-in BlockKKT variant whose factorization/solve run segment-axis
+    sharded over a device mesh (SURVEY.md section 2.9 P6: ONE problem's KKT
+    distributed over chips, boundary Schur complements exchanged via
+    all_gather over ICI).
+
+    Wraps an existing BlockKKT (reusing its probing/assembly plan) and
+    overrides only the factor/solve kernels, so the fused PSIOPT loop and
+    the host loop work unchanged."""
+
+    def __init__(self, base, mesh, axis="seg"):
+        import jax
+        self._base = base
+        self.mesh = mesh
+        self.axis = axis
+        self.D = mesh.shape[axis]
+        self.nlp = base.nlp
+        self.bs = base.bs
+        self.nlevels = base.nlevels
+        self._eq, self._iq, self._obj = base._eq, base._iq, base._obj
+        self._perm = base._perm
+        self._diag_sign = base._diag_sign
+        self._diag_fix = base._diag_fix
+        self._c_sign = base._c_sign
+        self._L = max(2, -(-base.bs.K // self.D))
+        self._jit_factor = jax.jit(self._factor_impl)
+        self._jit_solve = jax.jit(self._solve_impl)
+        self._jit_resid = base._jit_resid
+
+    # family evaluation / assembly delegate to the base plan
+    def _ad_impl(self, *a):
+        return self._base._ad_impl(*a)
+
+    def _resid_impl(self, *a):
+        return self._base._resid_impl(*a)
+
+    def _blocks_impl(self, *a):
+        return self._base._blocks_impl(*a)
+
+    def _iq_matvec_impl(self, *a):
+        return self._base._iq_matvec_impl(*a)
+
+    def _iq_rmatvec_impl(self, *a):
+        return self._base._iq_rmatvec_impl(*a)
+
+    def eval_resid(self, x, lamE, lamI, sigma):
+        return self._base.eval_resid(x, lamE, lamI, sigma)
+
+    def iq_matvec(self, fac, dx):
+        return self._base._jit_iqmv(fac, dx)
+
+    def iq_rmatvec(self, fac, v):
+        return self._base._jit_iqrmv(fac, v)
+
+    # ------------------------------------------------- sharded factor/solve
+    def _factor_blocks_impl(self, blocks, delta, gammaE):
+        import jax.numpy as jnp
+        base = self._base
+        diag, lower, B, C = blocks
+        diag = diag + jnp.where(
+            base._diag_sign > 0, delta,
+            jnp.where(base._diag_sign < 0, -gammaE, 0.0)) + base._diag_fix
+        C = C + jnp.where(base._c_sign > 0, delta,
+                          jnp.where(base._c_sign < 0, -gammaE, 0.0))
+        dg, lo, Bp, Cp, L = pad_chain(diag, lower, B, C, self.D)
+        fac, neigs = sharded_factor(dg, lo, Bp, Cp, self.mesh, self.axis,
+                                    fdtype=_factor_dtype()
+                                    if _factor_dtype() != diag.dtype
+                                    else None)
+        # padded identity blocks contribute +1 pivots only
+        return fac, neigs
+
+    def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
+                     consts):
+        _, _, _, _, famvals = self._ad_impl(x, lamE, lamI, sigma, consts)
+        blocks = self._blocks_impl(famvals, sig_tilde)
+        fac, neigs = self._factor_blocks_impl(blocks, delta, gammaE)
+        fac["iq_jx"] = famvals["jx_iq"]
+        return fac, neigs
+
+    def factor(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
+               gammaI=None):
+        import jax.numpy as jnp
+        fac, neigs = self._jit_factor(
+            x, lamE, lamI, jnp.asarray(sigma), sig_tilde,
+            jnp.asarray(delta), jnp.asarray(gammaE), self.nlp.consts_dev())
+        return fac, int(neigs)
+
+    def _solve_impl(self, fac, rhs_x, rhs_E):
+        import jax.numpy as jnp
+        bs = self.bs
+        K, W, b = bs.K, bs.W, bs.b
+        full = jnp.zeros((K * W + b,), rhs_x.dtype)
+        full = full.at[self._perm].set(jnp.concatenate([rhs_x, rhs_E]))
+        rblk = full[:K * W].reshape(K, W)
+        rbrd = full[K * W:]
+        Kp = self.D * self._L
+        rpad = jnp.concatenate(
+            [rblk, jnp.zeros((Kp - K, W), rblk.dtype)], axis=0)
+        y, z = sharded_solve(fac, rpad, rbrd, self.mesh, self.axis)
+        flat = jnp.concatenate([y[:K].reshape(-1), z])
+        sol = flat[self._perm]
+        return sol[:bs.n], sol[bs.n:]
+
+    def solve(self, fac, rhs_x, rhs_E):
+        return self._jit_solve(fac, rhs_x, rhs_E)

@@ -76,3 +76,36 @@ def test_sharded_matches_single_chip():
     assert int(n1) == int(n8)
     assert np.allclose(np.asarray(y8)[:K], np.asarray(y1), atol=1e-9)
     assert np.allclose(np.asarray(z8), np.asarray(z1), atol=1e-9)
+
+
+def test_sharded_full_solve_matches_single():
+    """FULL fused PSIOPT solve with the segment-axis ShardedBlockKKT over
+    the 8-device mesh reproduces the single-device solve (BASELINE.md:33
+    one-problem distribution; the NLPTest determinism analog)."""
+    import jax.numpy as jnp
+    from asset_asrl_tpu.Solvers.fused import build_fused_alg
+    from asset_asrl_tpu.Solvers.kkt_sharded import ShardedBlockKKT
+    import sys
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ge", __file__.replace("tests/test_kkt_sharded.py",
+                               "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+
+    mesh = _mesh()
+    phase = ge._small_phase(16)
+    phase.transcribe()
+    opt = phase.optimizer
+    kkt = opt.kkt
+    x, s, lamE, lamI = opt._init_state(phase.makeSolverInput(), opt.initMu)
+    mu0 = jnp.asarray(opt.initMu)
+    consts = opt.nlp.consts_dev()
+    out1 = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")(
+        x, s, lamE, lamI, mu0, consts)
+    outD = build_fused_alg(ShardedBlockKKT(kkt, mesh),
+                           opt._opts_snapshot(), "OPT")(
+        x, s, lamE, lamI, mu0, consts)
+    assert int(out1[5]) == 0 and int(outD[5]) == 0
+    x1, xD = np.asarray(out1[0]), np.asarray(outD[0])
+    assert np.max(np.abs(x1 - xD)) / max(1.0, np.abs(x1).max()) < 1e-6
