@@ -631,6 +631,26 @@ class Integrator:
         xf, jac = self._get("stm")(jnp.asarray(row), jnp.asarray(float(tf)))
         return np.asarray(xf), np.asarray(jac)
 
+    def integrate_stm2(self, x0, tf):
+        """State-transition matrix AND second-order sensitivities
+        d2 x(tf) / d x0^2 by forward-over-forward AD through the adaptive
+        loop (reference integrate_stm2, `Integrator.h:1719`)."""
+        key = "stm2"
+        f = self._jits.get(key)
+        if f is None:
+            core = self._make_core()
+
+            def stm2(row, tf):
+                xf = core(row, tf)
+                jac = jax.jacfwd(core)(row, tf)
+                hess = jax.jacfwd(jax.jacfwd(core))(row, tf)
+                return xf, jac, hess
+            f = jax.jit(stm2)
+            self._jits[key] = f
+        row = self._row(x0)
+        xf, jac, hess = f(jnp.asarray(row), jnp.asarray(float(tf)))
+        return np.asarray(xf), np.asarray(jac), np.asarray(hess)
+
     def integrate_stm_parallel(self, x0s, tfs, ncores=None):
         rows = jnp.asarray(np.stack([self._row(r) for r in x0s]))
         tfs = jnp.asarray(np.asarray(tfs, dtype=np.float64))
