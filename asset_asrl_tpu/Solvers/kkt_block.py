@@ -76,6 +76,7 @@ class BlockStructure:
         its minority variables to the border so every remaining in-band
         entry couples adjacent macros only."""
         node_of_var = np.asarray(node_of_var, np.int64)
+        self._node_of_var = node_of_var
         self.n, self.mE, self.mI = numPrimal, numEq, numIq
         nnodes = int(node_of_var.max()) + 1
 
@@ -311,6 +312,18 @@ class BlockStructure:
             out["C"] = (src[bb], rslot[bb] * b + cslot[bb])
         return {k: (np.asarray(s, np.int32), np.asarray(t, np.int32))
                 for k, (s, t) in out.items()}
+
+    def app_anchors(self, Vidx, colmask):
+        """Anchor macro per application: macro of its lowest banded node
+        (-1 when the app touches no banded node)."""
+        nds = self.macro_of_node
+        node_of_var = self._node_of_var
+        nn = node_of_var[Vidx]
+        valid = (nn >= 0) & colmask[None, :]
+        lo = np.where(valid, nn, np.iinfo(np.int64).max).min(axis=1)
+        out = np.where(lo < np.iinfo(np.int64).max,
+                       nds[np.clip(lo, 0, len(nds) - 1)], -1)
+        return out
 
     def rhs_perm(self):
         """Flat positions of (vars ++ eq rows) in the block rhs layout:
@@ -656,18 +669,28 @@ def bcr_factor(diag, lower, Bmat, C, nlevels=None, fdtype=None,
             out = out - jnp.pad(a1, [(1, Kn - 1 - a1.shape[0])] + pz)
             return out
 
-        LtD = _bmm_tn(L_le, Dinv)               # L_le^T Dinv
-        LeD = _bmm(L_er, Dinv)                  # L_er Dinv
-        d_new = overlap2(d_even, _bmm(LtD, L_le), _bmm(LeD, _bT(L_er)))
-
+        # Packed elimination: every Schur update of the level comes from TWO
+        # batched products.  X = [L_le^T; L_er; B_odd^T] (Ke, 2W+b, W),
+        # Z = (X Dinv) [L_le | L_er^T | B_odd]:
+        #   Z[:W,  :W]  = L_le^T Dinv L_le      (even-diag update, left)
+        #   Z[W:2W,:W]  = L_er  Dinv L_le       (-l_new)
+        #   Z[W:2W,W:2W]= L_er  Dinv L_er^T     (even-diag update, right)
+        #   Z[:W,  2W:] = L_le^T Dinv B_odd     (B update, left)
+        #   Z[W:2W,2W:] = L_er  Dinv B_odd      (B update, right)
+        #   Z[2W:, 2W:] = B_odd^T Dinv B_odd    (border C update)
+        # One sweep replaces six separate products; padded/odd tails carry
+        # zero blocks so the extra rows cost nothing extra to correctness.
+        X = jnp.concatenate([_bT(L_le), L_er, _bT(B_odd)], axis=1)
+        R = jnp.concatenate([L_le, _bT(L_er), B_odd], axis=2)
+        Z = _bmm(_bmm(X, Dinv), R)
+        d_new = overlap2(d_even, Z[:, :W, :W], Z[:, W:2 * W, W:2 * W])
         if b > 0:
-            DB = _bmm(Dinv, B_odd)              # Dinv B_odd
-            B_new = overlap2(B_even, _bmm_tn(L_le, DB), _bmm(L_er, DB))
-            C = C - (B_odd[:, :, :, None] * DB[:, :, None, :]).sum((0, 1))
+            B_new = overlap2(B_even, Z[:, :W, 2 * W:], Z[:, W:2 * W, 2 * W:])
+            C = C - Z[:, 2 * W:, 2 * W:].sum(0)
         else:
             B_new = B_even
 
-        l_new = -_bmm(LeD, L_le)
+        l_new = -Z[:, W:2 * W, :W]
         if Kn > 1:
             l_new = l_new[:Kn - 1] if l_new.shape[0] >= Kn - 1 else \
                 jnp.concatenate(
@@ -859,6 +882,146 @@ def bcr_refined_solve(fac, rblk, rbrd, nlevels=None, m=None):
     return y, z
 
 
+def _try_patch_plan(tdict, anchors, off, E, napps, W, K):
+    """Try to convert a contribution group's diag/lower scatter pairs into a
+    structured patch plan (TPU gather is catastrophically slow; this turns
+    assembly into exact one-hot MXU matmuls).
+
+    Requirements: a contiguous run of apps whose (entry -> patch-slot)
+    pattern is identical and whose anchors increase by one every P apps.
+    Each app's in-band entries must live in the (2W x 2W) patch spanning
+    macros (anchor, anchor+1).  Returns (plan | None, leftover_dict)."""
+    diag_pairs = tdict.get("diag", (np.zeros(0, np.int32),) * 2)
+    low_pairs = tdict.get("lower", (np.zeros(0, np.int32),) * 2)
+    nd = len(diag_pairs[0])
+    src = np.concatenate([diag_pairs[0], low_pairs[0]]).astype(np.int64)
+    tgt = np.concatenate([diag_pairs[1], low_pairs[1]]).astype(np.int64)
+    if len(src) == 0 or napps < 8:
+        return None, tdict
+    is_low = np.arange(len(src)) >= nd
+    app = (src - off) // E
+    e = (src - off) % E
+    mac = tgt // (W * W)
+    i = (tgt // W) % W
+    j = tgt % W
+    rel = mac - anchors[app]
+    ok = np.where(is_low, rel == 0, (rel >= 0) & (rel <= 1))
+    # patch slot within (2W, 2W): lower block sits at rows [W:2W], cols [:W]
+    prow = np.where(is_low, W + i, rel * W + i)
+    pcol = np.where(is_low, j, rel * W + j)
+    slot = prow * (2 * W) + pcol
+
+    # canonical pattern from a middle app
+    order = np.lexsort((e, slot, app))
+    app_s, e_s, slot_s, ok_s = app[order], e[order], slot[order], ok[order]
+    counts = np.bincount(app_s, minlength=napps)
+    mid = napps // 2
+    cnt = counts[mid]
+    if cnt == 0:
+        return None, tdict
+    starts = np.zeros(napps + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    canon_e = e_s[starts[mid]:starts[mid + 1]]
+    canon_slot = slot_s[starts[mid]:starts[mid + 1]]
+
+    # apps matching the canonical pattern (count, entries, slots, in-band)
+    match = counts == cnt
+    cand = np.where(match)[0]
+    if len(cand) < napps // 2:
+        return None, tdict
+    idx = starts[cand][:, None] + np.arange(cnt)[None, :]
+    em = e_s[idx]
+    sm = slot_s[idx]
+    km = ok_s[idx]
+    good = (em == canon_e[None, :]).all(1) & \
+        (sm == canon_slot[None, :]).all(1) & km.all(1)
+    match_apps = cand[good]
+    if len(match_apps) < napps // 2:
+        return None, tdict
+    # largest contiguous run with anchors advancing by 1 every P apps
+    runs = np.split(match_apps,
+                    np.where(np.diff(match_apps) != 1)[0] + 1)
+    run = max(runs, key=len)
+    a0, a1 = int(run[0]), int(run[-1]) + 1
+    anc = anchors[a0:a1]
+    u, c = np.unique(anc, return_counts=True)
+    if not np.all(np.diff(u) == 1):
+        return None, tdict
+    P = int(np.median(c))
+    # maximal contiguous run of anchor groups with exactly P apps
+    okg = c == P
+    runs_g = np.split(np.arange(len(u)), np.where(np.diff(okg))[0] + 1)
+    best = max((r for r in runs_g if okg[r[0]]), key=len, default=None)
+    if best is None or len(best) < 4:
+        return None, tdict
+    gstart = int(best[0])
+    gend = int(best[-1]) + 1
+    # app offsets of those groups (anchors sorted ascending within the run)
+    gfirst = np.searchsorted(anc, u[gstart])
+    a1 = a0 + int(gfirst) + (gend - gstart) * P
+    a0 = a0 + int(gfirst)
+    if (a1 - a0) < 4:
+        return None, tdict
+
+    # greedy layering: unique slots per layer
+    layers = []
+    remaining = list(range(cnt))
+    while remaining:
+        used = set()
+        this = []
+        rest = []
+        for t in remaining:
+            s = int(canon_slot[t])
+            if s in used:
+                rest.append(t)
+            else:
+                used.add(s)
+                this.append(t)
+        S = np.zeros((E, 4 * W * W), np.float32)
+        for t in this:
+            S[int(canon_e[t]), int(canon_slot[t])] += 1.0
+        layers.append(S)
+        remaining = rest
+
+    plan = dict(a0=a0, a1=a1, P=P, m0=int(anchors[a0]), E=E, W=W,
+                layers=layers)
+    # leftover pairs: everything outside the matched contiguous run
+    inrun = (app >= a0) & (app < a1)
+    left = dict(tdict)
+    keep_d = ~inrun[:nd]
+    keep_l = ~inrun[nd:]
+    left["diag"] = (diag_pairs[0][keep_d], diag_pairs[1][keep_d])
+    left["lower"] = (low_pairs[0][keep_l], low_pairs[1][keep_l])
+    return plan, left
+
+
+def _apply_patch_plan(plan, vals2d, diag, lower):
+    """Add a patch plan's contribution to (K, W, W) diag/lower via exact
+    split-f32 one-hot matmuls (each output slot receives exactly one source
+    per layer, so the f32 product is the exact value; the hi/lo split keeps
+    ~2^-48 relative accuracy on the f64 inputs)."""
+    W = plan["W"]
+    a0, a1, P, m0 = plan["a0"], plan["a1"], plan["P"], plan["m0"]
+    K = diag.shape[0]
+    v = vals2d[a0:a1]
+    hi = v.astype(jnp.float32)
+    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+    acc = jnp.zeros((a1 - a0, 4 * W * W), v.dtype)
+    for S in plan["layers"]:
+        acc = acc + jnp.dot(hi, S, precision="highest").astype(v.dtype) \
+            + jnp.dot(lo, S, precision="highest").astype(v.dtype)
+    G = (a1 - a0) // P
+    A = acc.reshape(G, P, 2 * W, 2 * W).sum(1)
+    g0 = min(G, K - m0)
+    diag = diag.at[m0:m0 + g0].add(A[:g0, :W, :W])
+    g1 = min(G, K - (m0 + 1))
+    if g1 > 0:
+        diag = diag.at[m0 + 1:m0 + 1 + g1].add(A[:g1, W:, W:])
+    gl = min(G, K - m0)
+    lower = lower.at[m0:m0 + gl].add(A[:gl, W:, :W])
+    return diag, lower
+
+
 def _build_table(pairs, size, zero_slot, max_width=16):
     """Invert (src, tgt) scatter pairs into a gather table.
 
@@ -910,7 +1073,7 @@ class BlockKKT:
     def __init__(self, nlp, node_of_var, probe_seed=7, x0=None):
         nlp.freeze()
         self.nlp = nlp
-        from .nlp import _family_full, _family_valjac
+        from .nlp import _family_full, _family_valjac, _family_hess
 
         # ---- probe structural sparsity of every family (TPU analog of the
         # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| near the
@@ -996,6 +1159,7 @@ class BlockKKT:
         for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows, eq_nz):
             self._eq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                hess=_family_hess(f.fun),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1008,6 +1172,7 @@ class BlockKKT:
                 hfull |= np.outer(jnz[r], jnz[r])
             self._iq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                hess=_family_hess(f.fun),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz, hfull=hfull,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1015,6 +1180,7 @@ class BlockKKT:
         for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
             self._obj.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                hess=_family_hess(f.fun),
                 Vidx=np.asarray(f.Vidx),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1066,6 +1232,8 @@ class BlockKKT:
         K, W, b, n = bs.K, bs.W, bs.b, bs.n
         off = 0
         dpairs, lpairs, bpairs, cpairs = [], [], [], []
+        self._patch_plans = []
+        self._vpart_count = 0
 
         def add_targets(t, off):
             for name, lst in (("diag", dpairs), ("lower", lpairs),
@@ -1081,24 +1249,67 @@ class BlockKKT:
                     [np.asarray(f["rows"]) for f in self._eq],
                     [np.asarray(f["Vidx"]) for f in self._eq])]:
             nv = fam["napps"] * fam["nout"] * fam["nin"]
+            # structured patch plans (diag/lower via one-hot MXU matmuls;
+            # TPU gather is the assembly bottleneck otherwise)
+            vpart_idx = self._vpart_count
+
+            def add_group(t, off_, anchors, E, napps):
+                # src indices in t are local to the contribution group
+                plan, left = _try_patch_plan(t, anchors, 0, E, napps, W, K)
+                add_targets(left, off_)
+                return plan
+
+            cm = fam["jnz"].any(0) | fam["hnz"].any(0)
+            anchors = bs.app_anchors(Vidx_np, cm)
             fam["jac_off"] = off
-            add_targets(bs.jac_targets(Vidx_np, rows_np, fam["jnz"]), off)
+            plan = add_group(bs.jac_targets(Vidx_np, rows_np, fam["jnz"]),
+                             off, anchors, fam["nout"] * fam["nin"],
+                             fam["napps"])
+            if plan is not None:
+                self._patch_plans.append((vpart_idx, plan))
+            vpart_idx += 1
             off += nv
             if fam["need_hess"]:
                 fam["hess_off"] = off
-                add_targets(bs.hess_targets(Vidx_np, fam["hnz"]), off)
+                plan = add_group(bs.hess_targets(Vidx_np, fam["hnz"]),
+                                 off, anchors, fam["nin"] * fam["nin"],
+                                 fam["napps"])
+                if plan is not None:
+                    self._patch_plans.append((vpart_idx, plan))
+                vpart_idx += 1
                 off += fam["napps"] * fam["nin"] * fam["nin"]
+            self._vpart_count = vpart_idx
+        vpart_idx = self._vpart_count
         for fam in self._iq:
             Vidx_np = np.asarray(fam["Vidx"])
+            cm = fam["hfull"].any(0)
+            anchors = bs.app_anchors(Vidx_np, cm)
             fam["hess_off"] = off
-            add_targets(bs.hess_targets(Vidx_np, fam["hfull"]), off)
+            t = bs.hess_targets(Vidx_np, fam["hfull"])
+            plan, left = _try_patch_plan(t, anchors, 0,
+                                         fam["nin"] * fam["nin"],
+                                         fam["napps"], W, K)
+            add_targets(left, off)
+            if plan is not None:
+                self._patch_plans.append((vpart_idx, plan))
+            vpart_idx += 1
             off += fam["napps"] * fam["nin"] * fam["nin"]
         for fam in self._obj:
             if fam["need_hess"]:
                 Vidx_np = np.asarray(fam["Vidx"])
+                cm = fam["hnz"].any(0)
+                anchors = bs.app_anchors(Vidx_np, cm)
                 fam["hess_off"] = off
-                add_targets(bs.hess_targets(Vidx_np, fam["hnz"]), off)
+                t = bs.hess_targets(Vidx_np, fam["hnz"])
+                plan, left = _try_patch_plan(t, anchors, 0,
+                                             fam["nin"] * fam["nin"],
+                                             fam["napps"], W, K)
+                add_targets(left, off)
+                if plan is not None:
+                    self._patch_plans.append((vpart_idx, plan))
+                vpart_idx += 1
                 off += fam["napps"] * fam["nin"] * fam["nin"]
+        self._vpart_count = vpart_idx
         self._vbuf_len = off
 
         tdiag, dov = _build_table(dpairs, K * W * W, off)
@@ -1166,10 +1377,10 @@ class BlockKKT:
         obj = jnp.zeros((), DEFAULT_DTYPE)
         for fam, cc in zip(self._eq, econ):
             lam = lamE[fam["rows"]]
+            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
             if want_hess and fam["need_hess"]:
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, lam)
+                hx = fam["hess"](x[fam["Vidx"]], cc, lam)
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             famvals["jx_eq"].append(jx)
             famvals["hx_eq"].append(hx)
@@ -1177,22 +1388,21 @@ class BlockKKT:
             g2d.append((jx * lam[:, :, None]).sum(1))
         for fam, cc in zip(self._iq, icon):
             lam = lamI[fam["rows"]]
+            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
             if want_hess and fam["need_hess"]:
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, lam)
+                hx = fam["hess"](x[fam["Vidx"]], cc, lam)
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             famvals["jx_iq"].append(jx)
             famvals["hx_iq"].append(hx)
             ci.append(fx.ravel())
             g2d.append((jx * lam[:, :, None]).sum(1))
         for fam, cc in zip(self._obj, ocon):
+            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
             if want_hess and fam["need_hess"]:
                 ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
-                fx, jx, hx = fam["full"](x[fam["Vidx"]], cc, ones)
-                hx = sigma * hx
+                hx = sigma * fam["hess"](x[fam["Vidx"]], cc, ones)
             else:
-                fx, jx = fam["vj"](x[fam["Vidx"]], cc)
                 hx = None
             obj = obj + jnp.sum(fx)
             famvals["hx_obj"].append(hx)
@@ -1246,7 +1456,8 @@ class BlockKKT:
         for i, fam in enumerate(self._obj):
             if fam["need_hess"]:
                 vparts.append(famvals["hx_obj"][i].ravel())
-        vbuf = jnp.concatenate(vparts + [jnp.zeros((1,), DEFAULT_DTYPE)])
+        vbuf = jnp.concatenate([p.ravel() for p in vparts]
+                               + [jnp.zeros((1,), DEFAULT_DTYPE)])
         # flat until after the overflow scatter: the overflow targets index
         # the flattened K*W*W / K*W*b layouts
         diag = vbuf[self._tdiag].sum(-1).ravel()
@@ -1264,8 +1475,13 @@ class BlockKKT:
                 lower = lower.at[t].add(vbuf[s])
             elif name == "B":
                 B = B.at[t].add(vbuf[s])
-        return (diag.reshape(K, W, W), lower.reshape(K, W, W),
-                B.reshape(K, W, b), C.reshape(b, b))
+        diag = diag.reshape(K, W, W)
+        lower = lower.reshape(K, W, W)
+        # structured contributions: exact one-hot matmul patches
+        for vi, plan in self._patch_plans:
+            vals2d = vparts[vi].reshape(-1, plan["E"])
+            diag, lower = _apply_patch_plan(plan, vals2d, diag, lower)
+        return (diag, lower, B.reshape(K, W, b), C.reshape(b, b))
 
     # -------------------------------------------------------------- factor
     def _factor_blocks_impl(self, blocks, delta, gammaE):

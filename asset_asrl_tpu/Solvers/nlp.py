@@ -130,6 +130,20 @@ def _family_full(fun):
     return jax.vmap(one)
 
 
+def _family_hess(fun):
+    """Adjoint Hessian alone (forward-over-reverse), one vmapped pass.
+
+    Kept SEPARATE from the value/Jacobian pass: fusing all three into one
+    computation triggers a Mosaic mis-lowering on the axon TPU stack that
+    yields NaN Hessian entries (values/Jacobians stay finite); the split
+    formulation compiles clean and costs one extra forward evaluation."""
+    def one(xloc, consts, lam):
+        f = lambda z: jnp.atleast_1d(fun(z, consts))
+        agrad = lambda z: jax.vjp(f, z)[1](lam)[0]
+        return jax.jacfwd(agrad)(xloc)
+    return jax.vmap(one)
+
+
 class NonLinearProgram:
     """Assembles families into one NLP with dense or structured KKT output.
 
