@@ -268,8 +268,22 @@ def update_mesh(phase, errs):
 
 def adaptive_mesh_loop(phase, method, flag):
     """Reference `ODEPhaseBase.cpp:1633-1680`: estimate -> refine ->
-    re-transcribe -> re-solve until MeshTol or MaxMeshIters."""
+    re-transcribe -> re-solve until MeshTol or MaxMeshIters.
+
+    Re-solves are warm-started from the previous mesh's multipliers when
+    the constraint dimensions carry over (reference collectPostOptInfo,
+    `ODEPhaseBase.cpp:1606-1609`; multipliers are interpolated only
+    implicitly — a mesh-size change resets them)."""
     phase.MeshConverged = False
+    ws_prev = phase.optimizer.WarmStart
+    phase.optimizer.WarmStart = True
+    try:
+        return _mesh_loop_body(phase, method, flag)
+    finally:
+        phase.optimizer.WarmStart = ws_prev
+
+
+def _mesh_loop_body(phase, method, flag):
     for itr in range(phase.MaxMeshIters):
         errs = segment_errors(phase)
         err = _combine(errs, phase.MeshErrorCriteria)

@@ -11,6 +11,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Ensure a host CPU backend exists alongside any accelerator platform
+# (JAX_PLATFORMS=axon alone would exclude it): setup work — sparsity
+# probing, auto-scaling probes, initial-state evaluation — is pinned to
+# CPU, and without this it silently lands on the accelerator where every
+# tiny probe jit pays a remote compile round trip (~60 s each through a
+# TPU tunnel; transcription of a 5000-segment phase went 560 s -> 25 s).
+try:
+    _plats = jax.config.jax_platforms
+    if _plats and "cpu" not in str(_plats).split(","):
+        jax.config.update("jax_platforms", str(_plats) + ",cpu")
+except Exception:
+    pass
+
 # Persistent compilation cache: XLA compiles for this TPU go through a
 # remote service and routinely take minutes for the fused solver graphs;
 # caching makes repeated bench/test runs start in seconds.

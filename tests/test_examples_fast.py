@@ -1,0 +1,61 @@
+"""Fast regression versions of the newly ported examples: each must
+converge to its cited objective (reference test strategy, SURVEY.md §4)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples"))
+
+CONVERGED = 0
+
+
+def test_simple_low_thrust():
+    """Reference `examples/SimpleLowThrust.py`: time-optimal r=1 -> r=2
+    raising at a=0.02; tof ~= 18.3 canonical units."""
+    from SimpleLowThrust import run
+    out = run(nsegs=64, print_level=2)
+    tof = out["time"][-1][6]
+    assert abs(tof - 18.27) < 0.3, tof
+
+
+def test_multiphase_zermelo():
+    from MultiPhaseZermelo import navigate, uniformWind
+    Points = [np.array(p) for p in [[0, 0], [2, 1], [3, 3]]]
+    traj, ocp = navigate(Points, vM=1.5, wF=uniformWind, print_level=2)
+    assert traj[-1][2] > 0
+
+
+def test_parallel_parking():
+    """Li/Wang/Chu 2016 case 7: maneuver time 18.426 s; ours within 1%."""
+    from ParallelParking import Main
+    t, Traj = Main(nsegs1=40, nsegs2=80, print_level=2)
+    assert abs(t - 18.426) < 0.4, t
+
+
+def test_optimal_docking_form2():
+    from OptimalDocking import Form2
+    flag, tf, Traj = Form2(nsegs=96, print_level=2)
+    assert flag == CONVERGED
+    assert 120 < tf < 260, tf
+
+
+@pytest.mark.slow
+def test_dionysus():
+    """Junkins & Taheri mass-optimal Earth->Dionysus; final mass should
+    exceed 1500 kg of the 4000 kg stack at converged meshes (the global
+    optimum is ~2718 kg; coarse meshes find lower-mass local optima)."""
+    from DionysusLowThrust import run
+    flag, fm, _ = run(nsegs=96, print_level=2)
+    assert flag == CONVERGED
+    assert fm > 1500, fm
+
+
+@pytest.mark.slow
+def test_heteroclinic():
+    from Heteroclinic import main
+    Traj1, Traj2, DV = main(nman=24, nsegs=40)
+    assert DV < 10.0, DV

@@ -103,6 +103,7 @@ def _build_phase():
     return phase
 
 
+@pytest.mark.slow
 def test_reentry():
     phase = _build_phase()
     flag = phase.solve_optimize()
