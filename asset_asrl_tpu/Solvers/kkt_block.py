@@ -1312,19 +1312,25 @@ class BlockKKT:
         self._vpart_count = vpart_idx
         self._vbuf_len = off
 
-        tdiag, dov = _build_table(dpairs, K * W * W, off)
-        tlow, lov = _build_table(lpairs, K * W * W, off)
+        # leftover diag/lower contributions (non-uniform apps, boundary
+        # rows) are FEW after patch planning: a small scatter-add beats a
+        # full-size gather table that streams every empty slot
+        def flat_pairs(pairs):
+            if not pairs:
+                return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+            return (np.concatenate([np.asarray(s, np.int32)
+                                    for s, t in pairs]),
+                    np.concatenate([np.asarray(t, np.int32)
+                                    for s, t in pairs]))
+
+        self._d_scatter = flat_pairs(dpairs)
+        self._l_scatter = flat_pairs(lpairs)
         tB, bov = _build_table(bpairs, K * W * b, off)
         tC, cov = _build_table(cpairs, b * b, off, max_width=1 << 30)
-        self._tdiag = tdiag.reshape(K, W, W, -1)
-        self._tlow = tlow.reshape(K, W, W, -1)
         self._tB = tB.reshape(K, W, b, -1) if b > 0 else None
         self._tC = tC.reshape(b, b, -1) if b > 0 else None
-        # overflow pairs (slots with >16 contributors) fall back to scatter
         self._overflow = [(np.asarray(s), np.asarray(t), name)
-                          for (s, t), name in
-                          [(dov, "diag"), (lov, "lower"), (bov, "B")]
-                          if len(s)]
+                          for (s, t), name in [(bov, "B")] if len(s)]
 
         # ---- adjoint-gradient gather plan (rd) ----
         goff = 0
@@ -1458,10 +1464,14 @@ class BlockKKT:
                 vparts.append(famvals["hx_obj"][i].ravel())
         vbuf = jnp.concatenate([p.ravel() for p in vparts]
                                + [jnp.zeros((1,), DEFAULT_DTYPE)])
-        # flat until after the overflow scatter: the overflow targets index
-        # the flattened K*W*W / K*W*b layouts
-        diag = vbuf[self._tdiag].sum(-1).ravel()
-        lower = vbuf[self._tlow].sum(-1).ravel()
+        ds, dt_ = self._d_scatter
+        ls_, lt = self._l_scatter
+        diag = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
+        if len(ds):
+            diag = diag.at[dt_].add(vbuf[ds])
+        lower = jnp.zeros((K * W * W,), DEFAULT_DTYPE)
+        if len(ls_):
+            lower = lower.at[lt].add(vbuf[ls_])
         if b > 0:
             B = vbuf[self._tB].sum(-1).ravel()
             C = vbuf[self._tC].sum(-1).ravel()
@@ -1469,11 +1479,7 @@ class BlockKKT:
             B = jnp.zeros((K * W * b,), DEFAULT_DTYPE)
             C = jnp.zeros((0,), DEFAULT_DTYPE)
         for s, t, name in self._overflow:
-            if name == "diag":
-                diag = diag.at[t].add(vbuf[s])
-            elif name == "lower":
-                lower = lower.at[t].add(vbuf[s])
-            elif name == "B":
+            if name == "B":
                 B = B.at[t].add(vbuf[s])
         diag = diag.reshape(K, W, W)
         lower = lower.reshape(K, W, W)

@@ -356,8 +356,18 @@ class VectorFunction:
     def __pow__(self, p):
         if isinstance(p, VectorFunction):
             return self._binary(p, jnp.power, "pow")
-        p = float(p)
         f = self._fn
+        if float(p) == int(p):
+            # integral exponents lower to lax.integer_pow, whose derivative
+            # rules are pure polynomials.  General pow differentiates
+            # through x**(p-k) terms that TPU f64 emulation evaluates as
+            # exp((p-k)·log x) — NaN second derivatives at x == 0 (CPU
+            # defines pow(0,0)=1, so the bug is TPU-only and bites any
+            # initial guess with exact zeros, e.g. zero controls).
+            ip = int(p)
+            return VectorFunction(lambda x: jnp.atleast_1d(f(x)) ** ip,
+                                  self._ir, self._orr, name="pow")
+        p = float(p)
         return VectorFunction(lambda x: jnp.power(jnp.atleast_1d(f(x)), p),
                               self._ir, self._orr, name="pow")
 
