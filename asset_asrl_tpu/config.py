@@ -26,10 +26,24 @@ except Exception:
 
 # Persistent compilation cache: XLA compiles for this TPU go through a
 # remote service and routinely take minutes for the fused solver graphs;
-# caching makes repeated bench/test runs start in seconds.
+# caching makes repeated bench/test runs start in seconds.  The directory
+# is keyed by the host CPU flags: XLA:CPU stores AOT-compiled code whose
+# machine features must match the executing host (a cache written on a
+# different machine type aborts with SIGILL-class faults at run time).
 try:
+    import hashlib
+    _feat = ""
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith("flags"):
+                    _feat = _line
+                    break
+    except OSError:
+        pass
+    _tag = hashlib.sha1(_feat.encode()).hexdigest()[:10]
     jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
+                      f"/root/.cache/jax_comp_cache_{_tag}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:  # older jax without the knobs
     pass
