@@ -19,6 +19,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -57,16 +58,26 @@ def build_phase(nsegs):
 
 
 def main():
+    nsegs = int(os.environ.get("BENCH_NSEGS", "5000"))
     try:
-        _run(5000)        # 10,001 collocation nodes
+        _run(nsegs)       # default: 10,001 collocation nodes
     except Exception as e:
+        if os.environ.get("BENCH_NSEGS"):
+            raise
         # the axon device stack currently faults executing the fused
-        # program above ~8k nodes ("TPU device error"); fall back to half
-        # scale with the baseline scaled by the same linear per-node
-        # extrapolation so vs_baseline stays apples-to-apples
-        sys.stderr.write(f"bench: 5000-seg run failed ({e!r}); "
-                         f"falling back to 2500 segments\n")
-        _run(2500)
+        # program above ~8k nodes ("TPU device error"), and a faulted PJRT
+        # client stays UNAVAILABLE — retry at half scale in a FRESH process
+        # after letting the device recover.  The baseline scales by the
+        # same linear per-node extrapolation, so vs_baseline stays
+        # apples-to-apples.
+        sys.stderr.write(f"bench: {nsegs}-seg run failed ({e!r}); "
+                         f"retrying at 2500 segments in a subprocess\n")
+        sys.stderr.flush()
+        import subprocess
+        time.sleep(90)
+        env = dict(os.environ, BENCH_NSEGS="2500")
+        raise SystemExit(subprocess.call(
+            [sys.executable, os.path.abspath(__file__)], env=env))
 
 
 def _run(nsegs):
