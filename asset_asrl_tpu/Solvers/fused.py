@@ -215,6 +215,12 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         (it, x, s, lamE, lamI, Mu, Hpert0, first_pert, nonzero4, infos,
          flag, acc_count, best_crit, best_x, best_s, best_lE,
          best_lI) = carry
+        # Lane freezing: in the single-problem while_loop the body only
+        # runs while flag == NOTCONVERGED, but under vmap (ensembles) the
+        # batched while_loop keeps executing every lane until ALL lanes
+        # finish.  `active` gates the carry update below so a finished
+        # lane's state is bit-identical to its per-problem solve.
+        active = flag == _NOTCONV
 
         obj, cE, cIraw, rd, famvals = kkt._ad_impl(x, lamE, lamI, sigma,
                                                    consts)
@@ -360,9 +366,11 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
             s = s + stepa * ds
             lamI = lamI + stepa * dlamI
 
-        return (it + 1, x, s, lamE, lamI, Mu, Hpert0, first_pert,
-                nonzero4, infos, flag, acc_count, best_crit, best_x,
-                best_s, best_lE, best_lI)
+        new_carry = (it + 1, x, s, lamE, lamI, Mu, Hpert0, first_pert,
+                     nonzero4, infos, flag, acc_count, best_crit, best_x,
+                     best_s, best_lE, best_lI)
+        return jax.tree.map(lambda nw, od: jnp.where(active, nw, od),
+                            new_carry, carry)
 
     def cond(carry):
         it, flag = carry[0], carry[10]
@@ -384,3 +392,33 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
                 best_x, best_s, best_lE, best_lI)
 
     return jax.jit(run)
+
+
+def build_fused_ensemble(kkt: BlockKKT, opts: dict, mode: str, mesh=None,
+                         axis: str = "scenario"):
+    """Vmapped full-fidelity ensemble solve (the reference Jet's job,
+    `src/Solvers/Jet.h:92-151`, as ONE compiled program).
+
+    Every lane runs the COMPLETE PSIOPT algorithm — probe/perturbation
+    factorization ladder, LOQO/PROBE barrier, merit line search,
+    convergence tiers — identical to `phase.optimize()` (finished lanes
+    are frozen in the batched while_loop, see `iteration`).  The scenario
+    axis is optionally sharded over a device mesh: batched per-scenario
+    BCR factorizations on each chip, scenarios data-parallel across chips
+    (SURVEY.md section 2.9 P4).
+
+    Returns fn(xB, sB, lamEB, lamIB, mu0, consts) with a leading batch
+    axis on the four state arrays; mu0/consts are shared.
+    """
+    run = build_fused_alg(kkt, opts, mode)
+    vrun = jax.vmap(run, in_axes=(0, 0, 0, 0, None, None))
+    if mesh is None:
+        return jax.jit(vrun)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    crep = jax.tree.map(lambda _: rep, kkt.nlp.consts_dev())
+    out_sh = (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh)
+    return jax.jit(vrun,
+                   in_shardings=(sh, sh, sh, sh, rep, crep),
+                   out_shardings=out_sh)

@@ -140,21 +140,64 @@ def make_batched_step(phase, mesh=None, axis="scenario"):
                    out_shardings=(state_shard, shard))
 
 
-def solve_ensemble(phase, perturb_states, iters=30, mesh=None):
-    """Solve a batch of scenarios that share the phase's structure: each
-    scenario perturbs the initial state vector.  Returns final states and
-    per-iteration infeasibility history."""
-    base = init_state(phase)
-    B = len(perturb_states)
-    state = tuple(
-        jnp.broadcast_to(v, (B,) + v.shape).copy() if v.ndim else
-        jnp.broadcast_to(v, (B,)).copy() for v in base)
-    x0 = np.stack([np.asarray(base[0]) + np.asarray(p)
-                   for p in perturb_states])
-    state = (jnp.asarray(x0),) + tuple(state[1:])
-    vstep = make_batched_step(phase, mesh=mesh)
-    hist = []
-    for _ in range(iters):
-        state, info = vstep(state)
-        hist.append(np.asarray(info))
-    return state, np.stack(hist)
+def solve_ensemble(phase, perturb_states=None, mesh=None, mode="OPT",
+                   x0s=None, iters=None):
+    """Full-fidelity vmapped ensemble solve: B scenarios sharing the
+    phase's structure, each run through the COMPLETE fused PSIOPT
+    algorithm (probe/perturbation ladder, barrier update, merit line
+    search, convergence tiers) — one compiled program whose results match
+    per-scenario `phase.optimize()` exactly (reference Jet,
+    `src/Solvers/Jet.h:92-151`).
+
+    perturb_states: B initial-state perturbation vectors, OR x0s: B full
+    solver-input vectors.  mesh: optional device mesh to shard the
+    scenario axis over.  Returns a dict with "x" (B, n), "flags" (B,),
+    "iters" (B,), "objs" (B,), "infos" (B, MaxIters, 9).
+    """
+    if phase._need_transcribe or phase._nlp is None:
+        phase.transcribe()
+    opt = phase.optimizer
+    kkt = opt.kkt
+    nlp = phase._nlp
+    from .Solvers.fused import build_fused_ensemble
+    fn = build_fused_ensemble(kkt, opt._opts_snapshot(), mode, mesh=mesh)
+
+    if x0s is None:
+        base = np.asarray(phase.makeSolverInput())
+        x0s = np.stack([base + np.asarray(p) for p in perturb_states])
+    else:
+        x0s = np.stack([np.asarray(x) for x in x0s])
+    B = x0s.shape[0]
+
+    # per-scenario slack/multiplier init (init_impl), batched on host CPU
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu is not None \
+        else contextlib.nullcontext()
+    mu0 = float(opt.initMu)
+    with ctx:
+        voc = jax.vmap(nlp.eval_obj_cons_impl, in_axes=(0, None))
+        _, _, cI = voc(jnp.asarray(x0s), nlp.consts_dev())
+    cI = np.asarray(cI)
+    if nlp.numIq > 0:
+        sB = np.where(cI < -opt.BoundPush, np.abs(cI), opt.BoundPush)
+        lamIB = mu0 / sB
+    else:
+        sB = np.zeros((B, 0))
+        lamIB = np.zeros((B, 0))
+    lamEB = np.zeros((B, nlp.numEq))
+
+    out = fn(jnp.asarray(x0s), jnp.asarray(sB), jnp.asarray(lamEB),
+             jnp.asarray(lamIB), jnp.asarray(mu0), nlp.consts_dev())
+    x, s, lamE, lamI, Mu, flag, niters, infos = out[:8]
+    niters_np = np.asarray(niters)
+    with ctx:
+        objs, _, _ = voc(jnp.asarray(x), nlp.consts_dev())
+    objs = np.asarray(objs)
+    return dict(x=np.asarray(x), flags=np.asarray(flag),
+                iters=niters_np, objs=objs, infos=np.asarray(infos),
+                lamE=np.asarray(lamE), lamI=np.asarray(lamI),
+                s=np.asarray(s))

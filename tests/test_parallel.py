@@ -66,6 +66,30 @@ def test_batched_step_matches_single():
                        atol=1e-12)
 
 
+def test_fused_ensemble_matches_optimize():
+    """solve_ensemble runs the FULL fused PSIOPT per lane: flags, iteration
+    counts and solutions must match per-scenario phase.optimize() runs
+    (reference Jet equivalence, `src/Solvers/Jet.h:92-151`)."""
+    from asset_asrl_tpu.parallel import solve_ensemble
+
+    phase = _phase()
+    phase.transcribe()
+    opt = phase.optimizer
+    opt.PrintLevel = 2
+
+    rng = np.random.default_rng(3)
+    base = np.asarray(phase.makeSolverInput())
+    B = 3
+    perts = [rng.normal(size=base.shape) * 1e-3 for _ in range(B)]
+    res = solve_ensemble(phase, perturb_states=perts)
+
+    for i in range(B):
+        xi = opt.optimize(base + perts[i])
+        assert int(res["flags"][i]) == int(opt.ConvergeFlag), i
+        assert int(res["iters"][i]) == int(opt.LastIterNum), i
+        assert np.allclose(res["x"][i], xi, atol=1e-9), i
+
+
 def test_sharded_mesh_determinism():
     """8-device sharded ensemble equals unsharded (the TPU substitute for
     the reference's threaded-scatter determinism test NLPTest)."""
