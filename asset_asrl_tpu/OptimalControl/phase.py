@@ -262,12 +262,6 @@ class Phase:
     def refineTrajEqual(self, numsegs):
         self.refineTrajManual(numsegs)
 
-    def subVariables(self, *a):
-        raise NotImplementedError
-
-    def subVariable(self, *a):
-        raise NotImplementedError
-
     # ------------------------------------------------------------ params API
     def setStaticParams(self, vals, *args):
         self._static_params = np.asarray(vals, dtype=np.float64).ravel()
@@ -477,7 +471,7 @@ class Phase:
         if region == "StaticParams":
             return self.SPV
         if region in ("FrontandBack", "BackandFront", "PairWisePath"):
-            return 2 * per + self.PV + self.SPV if False else 2 * per
+            return 2 * per
         return per
 
     # ------------------------------------------------------------- user API

@@ -40,18 +40,42 @@ INFO_FIELDS = ("obj", "kkt", "econ", "icon", "barr", "mu", "alpha",
 _CONV, _ACC, _NOTCONV, _DIV = 0, 1, 2, 3
 
 
-def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
-    """Build the jitted whole-solve function for one mode ('OPT' or 'SOE').
+def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
+    """Build the jitted whole-solve function for one mode ('OPT', 'OPTNO'
+    or 'SOE').
 
     opts: snapshot of PSIOPT knobs (plain python floats/ints/strings).
     Returns fn(x, s, lamE, lamI) -> (x, s, lamE, lamI, flag, niters, infos).
-    """
+
+    parts=True instead returns {"init", "step", "finalize", "max_iters"}:
+    the same algorithm as one jitted ITERATION plus a host loop.  The
+    whole-solve while_loop program at >=5000 segments exceeds what the
+    TPU toolchain will execute (device fault) while every stage runs fine
+    — the stepwise form trades one host sync per iteration for a program
+    the stack can always handle, and is the scale fallback used by
+    run_stepwise()."""
     nlp = kkt.nlp
     n, mE, mI = nlp.numPrimal, nlp.numEq, nlp.numIq
-    soe = mode == "SOE"
-    sigma = 0.0 if soe else float(opts["ObjScale"])
+    # Algorithm modes (reference `PSIOPT.h:28-33` AlgorithmModes + evalNLP
+    # dispatch `PSIOPT.cpp:100-130`):
+    #   OPT   — full KKT: objective grad+Hessian, constraint adjoint
+    #           Hessians (evalKKT).
+    #   OPTNO — constraint Hessians but NO objective derivatives
+    #           (evalKKTNO); line-search objective scale 0.
+    #   SOE   — solve-only: first-order (Gauss-Newton) with unit primal
+    #           diagonal and zeroed primal gradient (evalSOE +
+    #           setPrimalDiags(1)).
+    # OPTNO is reached as a solve-pass mode (reference SoeMode knob,
+    # `PSIOPT.cpp:1047`), so it uses the Soe bar/LS knobs.
+    soe = mode in ("SOE", "OPTNO")
+    sigma = 0.0 if mode in ("SOE", "OPTNO") else float(opts["ObjScale"])
+    want_hess = "zeros" if mode == "SOE" else True
+    unit_diag = 1.0 if mode == "SOE" else 0.0
+    zero_rd = mode == "SOE"
     barmode = opts["SoeBarMode"] if soe else opts["OptBarMode"]
     lsmode = opts["SoeLSMode"] if soe else opts["OptLSMode"]
+    pdstrat = str(opts.get("PDStepStrategy", "PrimSlackEq_Iq"))
+    init_lmults = bool(opts.get("InitLmults", False))
     MaxIters = int(opts["MaxIters"])
     MaxAccIters = int(opts["MaxAccIters"])
     MaxLSIters = int(opts["MaxLSIters"])
@@ -123,9 +147,11 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
         dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
 
-        fac_shapes, _ = jax.eval_shape(
-            lambda bl, d: kkt._factor_blocks_impl(bl, d, gammaE),
-            blocks, d0)
+        def factor_blocks(bl, d):
+            # unit_diag: SOE mode's setPrimalDiags(1.0) analog
+            return kkt._factor_blocks_impl(bl, d + unit_diag, gammaE)
+
+        fac_shapes, _ = jax.eval_shape(factor_blocks, blocks, d0)
         fac_init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                 fac_shapes)
 
@@ -136,7 +162,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         def body(c):
             fac, neigs, dused, dnext, k, started = c
             d = jnp.where(started, dnext, d0)
-            fac2, neigs2 = kkt._factor_blocks_impl(blocks, d, gammaE)
+            fac2, neigs2 = factor_blocks(blocks, d)
             neigs2 = jnp.asarray(neigs2, jnp.int32)
             dn2 = jnp.where(started, dnext * incrH, dnext0)
             k2 = jnp.where(started, k + 1, k)
@@ -222,8 +248,12 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         # lane's state is bit-identical to its per-problem solve.
         active = flag == _NOTCONV
 
-        obj, cE, cIraw, rd, famvals = kkt._ad_impl(x, lamE, lamI, sigma,
-                                                   consts)
+        obj, cE, cIraw, rd, famvals = kkt._eval_core(
+            x, lamE, lamI, sigma, consts, want_hess=want_hess)
+        if zero_rd:
+            # reference evalSOE zeroes the primal gradients
+            # (`PSIOPT.cpp:120-126`): pure feasibility (least-norm) steps
+            rd = jnp.zeros_like(rd)
 
         if mI > 0:
             s, rI = slack_reset(s, cIraw)
@@ -300,10 +330,21 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         if mI > 0:
             alphap = maxstep(s, ds)
             alphad = maxstep(lamI, dlamI)
-            dx = dx * alphap
-            ds = ds * alphap
-            dlamE = dlamE * alphap
-            dlamI = dlamI * alphad
+            # PDStepStrategies (reference `PSIOPT.cpp:30-57`)
+            if pdstrat == "AllMinimum":
+                am = jnp.minimum(alphap, alphad)
+                steps = (am, am, am, am)
+            elif pdstrat == "PrimSlack_EqIq":
+                steps = (alphap, alphap, alphad, alphad)
+            elif pdstrat == "MaxEq":
+                steps = (alphap, alphap, jnp.maximum(alphap, alphad),
+                         alphad)
+            else:  # PrimSlackEq_Iq (reference default)
+                steps = (alphap, alphap, alphap, alphad)
+            dx = dx * steps[0]
+            ds = ds * steps[1]
+            dlamE = dlamE * steps[2]
+            dlamI = dlamI * steps[3]
 
         # ------------------------------------------------------ line search
         if lsmode in ("AUGLANG", "L1", "LANG"):
@@ -376,22 +417,65 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str):
         it, flag = carry[0], carry[10]
         return (flag == _NOTCONV) & (it < MaxIters)
 
-    def run(x, s, lamE, lamI, Mu0, consts):
+    def init_multipliers(x, consts):
+        """Reference init_impl (`PSIOPT.cpp:728-807`, AlgorithmModes::INIT):
+        one first-order (evalAUG) factorization with unit primal diagonal
+        and unit slack Hessian; the equality-multiplier block of
+        -K^{-1} [sigma*gradf; 0] is the least-squares multiplier estimate
+        that initializes lamE."""
+        zE = jnp.zeros((mE,), DEFAULT_DTYPE)
+        zI = jnp.zeros((mI,), DEFAULT_DTYPE)
+        _, _, _, rd0, fam0 = kkt._eval_core(
+            x, zE, zI, float(opts["ObjScale"]), consts, want_hess="zeros")
+        st1 = jnp.ones((mI,), DEFAULT_DTYPE)
+        blocks0 = kkt._blocks_impl(fam0, st1)
+        fac0, _ = kkt._factor_blocks_impl(blocks0, jnp.asarray(1.0),
+                                          jnp.asarray(gammaE))
+        _, lamE0 = kkt._solve_impl(fac0, -rd0, zE)
+        good = jnp.isfinite(jnp.sum(lamE0 ** 2))
+        return jnp.where(good, lamE0, zE)
+
+    def make_init(x, s, lamE, lamI, Mu0, consts):
+        if init_lmults and mE > 0:
+            lamE = init_multipliers(x, consts)
         infos = jnp.zeros((MaxIters, ninfo), DEFAULT_DTYPE)
-        init = (jnp.zeros((), jnp.int32), x, s, lamE, lamI,
+        return (jnp.zeros((), jnp.int32), x, s, lamE, lamI,
                 jnp.asarray(Mu0, DEFAULT_DTYPE),
                 jnp.asarray(deltaH, DEFAULT_DTYPE),
                 jnp.ones((), bool), jnp.zeros((4,), bool), infos,
                 jnp.asarray(_NOTCONV, jnp.int32),
                 jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, DEFAULT_DTYPE), x, s, lamE, lamI)
-        out = jax.lax.while_loop(cond, lambda c: iteration(c, consts), init)
+
+    def finalize(out):
         (it, x, s, lamE, lamI, Mu, _, _, _, infos, flag, _, best_crit,
          best_x, best_s, best_lE, best_lI) = out
         return (x, s, lamE, lamI, Mu, flag, it, infos,
                 best_x, best_s, best_lE, best_lI)
 
+    def run(x, s, lamE, lamI, Mu0, consts):
+        init = make_init(x, s, lamE, lamI, Mu0, consts)
+        out = jax.lax.while_loop(cond, lambda c: iteration(c, consts), init)
+        return finalize(out)
+
+    if parts:
+        return dict(init=jax.jit(make_init), step=jax.jit(iteration),
+                    finalize=finalize, flags=(_NOTCONV,),
+                    max_iters=MaxIters)
     return jax.jit(run)
+
+
+def run_stepwise(parts, x, s, lamE, lamI, Mu0, consts):
+    """Host-loop driver over build_fused_alg(..., parts=True): identical
+    algorithm and results to the whole-solve jit, one device dispatch per
+    IPM iteration (plus a scalar flag sync).  Used above the program-size
+    scale where the monolithic while_loop faults the TPU stack."""
+    carry = parts["init"](x, s, lamE, lamI, Mu0, consts)
+    max_iters = parts["max_iters"]
+    step = parts["step"]
+    while int(carry[10]) == _NOTCONV and int(carry[0]) < max_iters:
+        carry = step(carry, consts)
+    return parts["finalize"](carry)
 
 
 def build_fused_ensemble(kkt: BlockKKT, opts: dict, mode: str, mesh=None,

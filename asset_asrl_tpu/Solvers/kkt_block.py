@@ -430,6 +430,22 @@ FACTOR_DTYPE = "f64"
 # Iterative-refinement rounds per solve when factoring in f32.
 REFINE_STEPS = 3
 
+# System-level iterative refinement of every BCR solve.  TPU "f64" is
+# double-double f32 emulation (measured: effective per-op accuracy ~1e-14,
+# sin/cos ~1e-12), and the BCR recursion amplifies that to ~1e-4 relative
+# solve error at K~2500 late in the IPM — enough to stall the Newton
+# iteration at kkt~1e-3 (CPU, true f64, converges).  Richardson refinement
+# dx += M^-1 (r - K dx) with the exact stored blocks contracts the error
+# by the solve's ~1e-4 ratio per step: one step restores ~1e-8, two ~1e-12.
+#   "auto": 2 steps on TPU, 0 elsewhere; an int forces that step count.
+REFINE_MODE = "auto"
+
+
+def _refine_steps():
+    if REFINE_MODE == "auto":
+        return 2 if jax.default_backend() == "tpu" else 0
+    return int(REFINE_MODE)
+
 # Use the fused Pallas Gauss-Jordan kernel for f32 block inverses on TPU
 # (False falls back to the pure-XLA elimination — diagnostic kill switch).
 USE_PALLAS = True
@@ -785,6 +801,50 @@ def bcr_solve(fac, rhs_blocks, rhs_border, nlevels=None):
     return y, z
 
 
+def _block_matvec(blocks64):
+    """Matvec closure over the exact stored blocks [T,B;B^T,C]."""
+    diag, lower, Bm, C = blocks64
+    K = diag.shape[0]
+    b = C.shape[0]
+
+    def matvec(y, z):
+        out = _mv(diag, y)
+        if K > 1:
+            out = out + jnp.pad(_mv(lower[:-1], y[:-1]),
+                                ((1, 0), (0, 0)))
+            out = out + jnp.pad(_mv_t(lower[:-1], y[1:]),
+                                ((0, 1), (0, 0)))
+        if b > 0:
+            out = out + _mv_const(Bm, z)
+            outb = (Bm * y[:, :, None]).sum((0, 1)) + C @ z
+        else:
+            outb = z
+        return out, outb
+
+    return matvec
+
+
+def bcr_richardson_solve(fac, rblk, rbrd, nlevels=None, steps=2):
+    """f64 solve + Richardson iterative refinement against the exact
+    stored blocks:  dx += M^-1 (r - K dx).
+
+    TPU f64 is double-double f32 emulation; the BCR recursion amplifies
+    the ~1e-14 per-op error to ~1e-4 relative solve error at K~2500 (the
+    measured late-IPM stall floor).  Each refinement step contracts the
+    error by that same ~1e-4 ratio — the residual matvec is exact-blocks
+    elementwise work with no recursive amplification — so 1-2 steps
+    restore Newton-quality directions (Pardiso QPRefSteps analog,
+    `src/Solvers/PSIOPT.h:146`)."""
+    matvec = _block_matvec(fac["blocks64"])
+    y, z = bcr_solve(fac, rblk, rbrd, nlevels)
+    for _ in range(steps):
+        Ay, Az = matvec(y, z)
+        dy, dz = bcr_solve(fac, rblk - Ay, rbrd - Az, nlevels)
+        y = y + dy
+        z = z + dz
+    return y, z
+
+
 def bcr_refined_solve(fac, rblk, rbrd, nlevels=None, m=None):
     """f64 solve through an f32 factorization of the equilibrated system.
 
@@ -806,20 +866,7 @@ def bcr_refined_solve(fac, rblk, rbrd, nlevels=None, m=None):
     if m is None:
         m = REFINE_STEPS + 2
 
-    def matvec(y, z):
-        out = _mv(diag, y)
-        if K > 1:
-            out = out + jnp.pad(_mv(lower[:-1], y[:-1]),
-                                ((1, 0), (0, 0)))
-            out = out + jnp.pad(_mv_t(lower[:-1], y[1:]),
-                                ((0, 1), (0, 0)))
-        if b > 0:
-            out = out + _mv_const(Bm, z)
-            outb = (Bm * y[:, :, None]).sum((0, 1)) + C @ z
-        else:
-            outb = z
-        return out, outb
-
+    matvec = _block_matvec(fac["blocks64"])
     sK, sbrd = fac["scale"]
 
     def precond(ry, rz):
@@ -1381,13 +1428,22 @@ class BlockKKT:
         g2d = []
         ce, ci = [], []
         obj = jnp.zeros((), DEFAULT_DTYPE)
+
+        def hess_of(fam, xg, cc, lam):
+            # want_hess: True = real adjoint Hessian; "zeros" = structural
+            # zeros (Gauss-Newton / reference evalSOE+evalAUG first-order
+            # modes, `NonLinearProgram.cpp:590-627`); False = skip.
+            if want_hess is True and fam["need_hess"]:
+                return fam["hess"](xg, cc, lam)
+            if want_hess == "zeros" and fam["need_hess"]:
+                return jnp.zeros((fam["napps"], fam["nin"], fam["nin"]),
+                                 DEFAULT_DTYPE)
+            return None
+
         for fam, cc in zip(self._eq, econ):
             lam = lamE[fam["rows"]]
             fx, jx = fam["vj"](x[fam["Vidx"]], cc)
-            if want_hess and fam["need_hess"]:
-                hx = fam["hess"](x[fam["Vidx"]], cc, lam)
-            else:
-                hx = None
+            hx = hess_of(fam, x[fam["Vidx"]], cc, lam)
             famvals["jx_eq"].append(jx)
             famvals["hx_eq"].append(hx)
             ce.append(fx.ravel())
@@ -1395,19 +1451,19 @@ class BlockKKT:
         for fam, cc in zip(self._iq, icon):
             lam = lamI[fam["rows"]]
             fx, jx = fam["vj"](x[fam["Vidx"]], cc)
-            if want_hess and fam["need_hess"]:
-                hx = fam["hess"](x[fam["Vidx"]], cc, lam)
-            else:
-                hx = None
+            hx = hess_of(fam, x[fam["Vidx"]], cc, lam)
             famvals["jx_iq"].append(jx)
             famvals["hx_iq"].append(hx)
             ci.append(fx.ravel())
             g2d.append((jx * lam[:, :, None]).sum(1))
         for fam, cc in zip(self._obj, ocon):
             fx, jx = fam["vj"](x[fam["Vidx"]], cc)
-            if want_hess and fam["need_hess"]:
+            if want_hess is True and fam["need_hess"]:
                 ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
                 hx = sigma * fam["hess"](x[fam["Vidx"]], cc, ones)
+            elif want_hess == "zeros" and fam["need_hess"]:
+                hx = jnp.zeros((fam["napps"], fam["nin"], fam["nin"]),
+                               DEFAULT_DTYPE)
             else:
                 hx = None
             obj = obj + jnp.sum(fx)
@@ -1429,6 +1485,13 @@ class BlockKKT:
 
     def _ad_impl(self, x, lamE, lamI, sigma, consts):
         return self._eval_core(x, lamE, lamI, sigma, consts, want_hess=True)
+
+    def _ad_impl_gn(self, x, lamE, lamI, sigma, consts):
+        """First-order (Gauss-Newton) pass: Jacobians + gradients with
+        structurally zero Hessians — the reference evalSOE / evalAUG
+        eval modes (`NonLinearProgram.cpp:590-627`)."""
+        return self._eval_core(x, lamE, lamI, sigma, consts,
+                               want_hess="zeros")
 
     def _resid_impl(self, x, lamE, lamI, sigma, consts):
         obj, cE, cI, rd, _ = self._eval_core(x, lamE, lamI, sigma, consts,
@@ -1513,6 +1576,9 @@ class BlockKKT:
         else:
             fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
                                     fdtype=fdtype)
+            if _refine_steps() > 0:
+                # TPU dd-f64: keep exact blocks for Richardson refinement
+                fac["blocks64"] = (diag, lower, B, C)
         return fac, neigs
 
     def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
@@ -1541,8 +1607,15 @@ class BlockKKT:
         rbrd = full[K * W:]
         if "blocks64" not in fac:
             y, z = bcr_solve(fac, rblk, rbrd, self.nlevels)
-        else:
+        elif "scale" in fac:
+            # f32 factorization: FGMRES refinement on the equilibrated
+            # system (the f32 factor's contraction ratio can approach 1)
             y, z = bcr_refined_solve(fac, rblk, rbrd, self.nlevels)
+        else:
+            # exact-dtype factorization on dd-f64 hardware: cheap
+            # Richardson refinement recovers the recursion's lost digits
+            y, z = bcr_richardson_solve(fac, rblk, rbrd, self.nlevels,
+                                        steps=_refine_steps())
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]

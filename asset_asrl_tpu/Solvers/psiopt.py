@@ -117,12 +117,26 @@ class PSIOPT:
         self.SoeBarMode = "LOQO"
         self.OptLSMode = "AUGLANG"
         self.SoeLSMode = "NOLS"
+        # SoeMode: algorithm run by solve() passes — "SOE" (reference
+        # default: first-order feasibility steps) or "OPTNO" (constraint
+        # Hessians, no objective; reference `PSIOPT.h:28-33`).
+        self.SoeMode = "SOE"
+        # Primal-dual step strategy (reference `PSIOPT.cpp:30-57`):
+        # PrimSlackEq_Iq | AllMinimum | PrimSlack_EqIq | MaxEq
+        self.PDStepStrategy = "PrimSlackEq_Iq"
+        # Initialize equality multipliers with the reference init_impl
+        # least-squares estimate (`PSIOPT.cpp:728-807`) before each pass.
+        self.InitLmults = True
         self.PrintLevel = 0
         self.FastFactorAlg = True
         self.gammaE = 1.0e-10   # dual regularization (quasi-definiteness)
         self.gammaI = 1.0e-10
         self.CNRMode = False          # disable ANSI colors in the console
-        self.storespmat = False       # keep the last factored KKT blocks
+        # storespmat (reference `PSIOPT.h:418`): keep the KKT matrix of the
+        # final iterate for user inspection.  Here that is the block form
+        # (diag (K,W,W), lower (K,W,W), B (K,W,b), C (b,b)) stored in
+        # LastKKTBlocks after each solve.
+        self.storespmat = False
         self.LastKKTBlocks = None
         self.WideConsole = False      # wider iterate table
         self.ReturnBest = False
@@ -138,6 +152,10 @@ class PSIOPT:
         # backends (one dispatch per solve); the host loop remains for the
         # dense backend and for debugging.
         self.UseFused = True
+        # "whole": one while_loop program per solve; "step": one jitted
+        # iteration + host loop (for problems above the TPU toolchain's
+        # program-size limit); "auto": step on TPU when K is large.
+        self.FusedMode = "auto"
         # Reuse multipliers/slacks from the previous solve as the starting
         # point (reference collectPostOptInfo warm start,
         # `ODEPhaseBase.cpp:1606-1609`).
@@ -174,6 +192,19 @@ class PSIOPT:
 
     def set_PrintLevel(self, p):
         self.PrintLevel = int(p)
+
+    def set_SoeMode(self, m):
+        m = str(m)
+        if m not in ("SOE", "OPTNO"):
+            raise ValueError("SoeMode must be SOE or OPTNO")
+        self.SoeMode = m
+
+    def set_PDStepStrategy(self, m):
+        m = str(m)
+        if m not in ("PrimSlackEq_Iq", "AllMinimum", "PrimSlack_EqIq",
+                     "MaxEq"):
+            raise ValueError(f"unknown PDStepStrategy {m}")
+        self.PDStepStrategy = m
 
     def set_MaxIters(self, n):
         self.MaxIters = int(n)
@@ -271,10 +302,12 @@ class PSIOPT:
         self.LastIterNum = 0
         x, s, lamE, lamI = self._init_state(np.asarray(x0, np.float64),
                                             self.initMu)
+        self._warm_applied = False
         if self.WarmStart and self.LastEqLmults is not None \
                 and len(self.LastEqLmults) == self.nlp.numEq \
                 and self.LastIqLmults is not None \
                 and len(self.LastIqLmults) == self.nlp.numIq:
+            self._warm_applied = True
             lamE = jnp.asarray(self.LastEqLmults)
             lamI = jnp.maximum(jnp.asarray(self.LastIqLmults), 1e-8) \
                 if self.nlp.numIq else lamI
@@ -287,6 +320,8 @@ class PSIOPT:
         use_fused = self.UseFused and isinstance(self.kkt, BlockKKT)
         flag = ConvergenceFlags.NOTCONVERGED
         for (mode,) in schedule:
+            if mode == "SOE":
+                mode = str(self.SoeMode)
             if use_fused:
                 x, s, lamE, lamI, flag = self._alg_fused(mode, x, s,
                                                          lamE, lamI)
@@ -314,24 +349,36 @@ class PSIOPT:
                 "decrH", "initMu", "MaxMu", "MinMu", "ObjScale",
                 "alphaRed", "OptBarMode", "SoeBarMode", "OptLSMode",
                 "SoeLSMode", "FastFactorAlg", "gammaE", "gammaI",
-                "BestCriteria")
+                "BestCriteria", "PDStepStrategy", "InitLmults")
         return {k: getattr(self, k) for k in keys}
 
     def _alg_fused(self, mode, x, s, lamE, lamI):
         """One mode pass through the fused whole-solve jit (one dispatch)."""
-        from .fused import build_fused_alg
+        from .fused import build_fused_alg, run_stepwise
         opts = self._opts_snapshot()
-        key = (mode, tuple(sorted(opts.items())), id(self.kkt))
+        opts["InitLmults"] = bool(self.InitLmults) \
+            and not getattr(self, "_warm_applied", False)
+        stepwise = self.FusedMode == "step" or (
+            self.FusedMode == "auto" and jax.default_backend() == "tpu"
+            and getattr(self.kkt, "bs", None) is not None
+            and self.kkt.bs.K > 3072)
+        key = (mode, tuple(sorted(opts.items())), id(self.kkt), stepwise)
         cache = getattr(self, "_fused_cache", None)
         if cache is None or cache[0] != key:
-            fn = build_fused_alg(self.kkt, opts, mode)
+            fn = build_fused_alg(self.kkt, opts, mode, parts=stepwise)
             self._fused_cache = (key, fn)
         fn = self._fused_cache[1]
         tq0 = time.perf_counter()
-        (x, s, lamE, lamI, Mu, flag, niters, infos,
-         bx, bs_, blE, blI) = fn(x, s, lamE, lamI,
-                                 jnp.asarray(self.initMu),
-                                 self.nlp.consts_dev())
+        if stepwise:
+            (x, s, lamE, lamI, Mu, flag, niters, infos,
+             bx, bs_, blE, blI) = run_stepwise(
+                fn, x, s, lamE, lamI, jnp.asarray(self.initMu),
+                self.nlp.consts_dev())
+        else:
+            (x, s, lamE, lamI, Mu, flag, niters, infos,
+             bx, bs_, blE, blI) = fn(x, s, lamE, lamI,
+                                     jnp.asarray(self.initMu),
+                                     self.nlp.consts_dev())
         flag = int(flag)
         niters = int(niters)
         self.LastKKTTime += time.perf_counter() - tq0
@@ -340,6 +387,9 @@ class PSIOPT:
                                             ConvergenceFlags.ACCEPTABLE):
             x, s, lamE, lamI = bx, bs_, blE, blI
         self.LastIterNum += niters
+        if self.storespmat:
+            self._store_spmat(x, s, lamE, lamI, Mu,
+                              0.0 if mode == "SOE" else self.ObjScale)
         if callable(self.LateCallBack):
             self.LateCallBack(dict(mode=mode, flag=flag, iters=niters,
                                    infos=infos, x=np.asarray(x),
@@ -353,6 +403,31 @@ class PSIOPT:
                   f"{len(infos)} iters: obj {r[0]:+.8e} kkt {r[1]:.2e} "
                   f"econ {r[2]:.2e} icon {r[3]:.2e} barr {r[4]:.2e}")
         return x, s, lamE, lamI, flag
+
+    def _store_spmat(self, x, s, lamE, lamI, Mu, sigma):
+        """Assemble and stash the KKT blocks at the given iterate
+        (reference storespmat, `PSIOPT.h:418`)."""
+        from .kkt_block import BlockKKT
+        if not isinstance(self.kkt, BlockKKT):
+            return
+        kkt = self.kkt
+        jits = getattr(kkt, "_spmat_jits", None)
+        if jits is None:
+            jits = (jax.jit(kkt._ad_impl), jax.jit(kkt._blocks_impl))
+            kkt._spmat_jits = jits
+        jad, jblk = jits
+        _, _, _, _, famvals = jad(
+            jnp.asarray(x), jnp.asarray(lamE), jnp.asarray(lamI),
+            jnp.asarray(sigma), self.nlp.consts_dev())
+        if self.nlp.numIq > 0:
+            s_ = jnp.maximum(jnp.asarray(s), 1e-300)
+            Sig = jnp.where(jnp.asarray(lamI) / s_ < 0.0,
+                            Mu / (s_ * s_), jnp.asarray(lamI) / s_)
+            sig_tilde = Sig / (1.0 + self.gammaI * Sig)
+        else:
+            sig_tilde = jnp.zeros((0,), DEFAULT_DTYPE)
+        blocks = jblk(famvals, sig_tilde)
+        self.LastKKTBlocks = tuple(np.asarray(b) for b in blocks)
 
     # --------------------------------------------------------- console table
     def _print_iterate_table(self, mode, infos):
@@ -509,11 +584,25 @@ class PSIOPT:
                                                      self.BoundFraction))
                 alphad = float(_max_step_to_boundary(lamI, dlamI,
                                                      self.BoundFraction))
-                # PDStepStrategy PrimSlackEq_Iq (reference default):
-                dx = dx * alphap
-                ds = ds * alphap
-                dlamE = dlamE * alphap
-                dlamI = dlamI * alphad
+                # PDStepStrategies (reference `PSIOPT.cpp:30-57`)
+                strat = str(self.PDStepStrategy)
+                if strat == "AllMinimum":
+                    am = min(alphap, alphad)
+                    sp = ss = se = si = am
+                elif strat == "PrimSlack_EqIq":
+                    sp = ss = alphap
+                    se = si = alphad
+                elif strat == "MaxEq":
+                    sp = ss = alphap
+                    se = max(alphap, alphad)
+                    si = alphad
+                else:  # PrimSlackEq_Iq (reference default)
+                    sp = ss = se = alphap
+                    si = alphad
+                dx = dx * sp
+                ds = ds * ss
+                dlamE = dlamE * se
+                dlamI = dlamI * si
 
             # -------------------------------------------------- line search
             tf0 = time.perf_counter()
@@ -571,6 +660,8 @@ class PSIOPT:
                   f"{len(infos)} iters: obj {i0['obj']:+.8e} kkt {i0['kkt']:.2e} "
                   f"econ {i0['econ']:.2e} icon {i0['icon']:.2e} "
                   f"barr {i0['barr']:.2e}")
+        if self.storespmat:
+            self._store_spmat(x, s, lamE, lamI, Mu, sigma)
         return x, s, lamE, lamI, flag
 
     # ------------------------------------------------------------ line search

@@ -4,10 +4,11 @@
 Problem: CartPole swing-up (reference `doc/examples/CartPole.rst`) scaled to
 10,001 collocation nodes (5000 LGL5 segments), solved by the REAL fused
 PSIOPT loop — family AD + block assembly, the zero-probe/perturbation
-factorization ladder, LOQO barrier update, Newton solve with f32
-block-cyclic-reduction + f64 iterative refinement, fraction-to-boundary,
-and the AUGLANG merit line search — i.e. the same code path
-`phase.optimize()` runs, measured per IPM iteration.
+factorization ladder, LOQO barrier update, block-cyclic-reduction Newton
+solve with iterative refinement (TPU f64 is double-double f32 emulation;
+refinement restores the digits the BCR recursion loses),
+fraction-to-boundary, and the AUGLANG merit line search — i.e. the same
+code path `phase.optimize()` runs, measured per IPM iteration.
 
 Baseline: the reference C++/MKL solver does 12 IPM iterations in 28 ms at
 129 nodes (i7-9750H, `doc/examples/CartPole.rst:143`) = 2.33 ms/iter.
@@ -64,12 +65,10 @@ def main():
     except Exception as e:
         if os.environ.get("BENCH_NSEGS"):
             raise
-        # the axon device stack currently faults executing the fused
-        # program above ~8k nodes ("TPU device error"), and a faulted PJRT
-        # client stays UNAVAILABLE — retry at half scale in a FRESH process
-        # after letting the device recover.  The baseline scales by the
-        # same linear per-node extrapolation, so vs_baseline stays
-        # apples-to-apples.
+        # a faulted PJRT client stays UNAVAILABLE in-process — retry at
+        # half scale in a FRESH process after letting the device recover.
+        # The baseline scales by the same linear per-node extrapolation,
+        # so vs_baseline stays apples-to-apples.
         sys.stderr.write(f"bench: {nsegs}-seg run failed ({e!r}); "
                          f"retrying at 2500 segments in a subprocess\n")
         sys.stderr.flush()
@@ -85,14 +84,24 @@ def _run(nsegs):
 
     import jax
     import jax.numpy as jnp
-    from asset_asrl_tpu.Solvers.fused import build_fused_alg
+    from asset_asrl_tpu.Solvers.fused import build_fused_alg, run_stepwise
     from asset_asrl_tpu.Solvers.psiopt import PSIOPT
 
     phase = build_phase(nsegs)
     phase.transcribe()
     opt = phase.optimizer
     kkt = opt.kkt
-    fn = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")
+    # Above ~K=3072 macros the monolithic while_loop program faults the
+    # TPU toolchain (every stage runs fine individually) — run the same
+    # algorithm as one jitted iteration + host loop (fused.run_stepwise),
+    # exactly what phase.optimize() auto-selects at this scale.
+    stepwise = kkt.bs.K > 3072 and jax.default_backend() == "tpu"
+    if stepwise:
+        parts = build_fused_alg(kkt, opt._opts_snapshot(), "OPT",
+                                parts=True)
+        fn = lambda *a: run_stepwise(parts, *a)  # noqa: E731
+    else:
+        fn = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")
 
     x, s, lamE, lamI = opt._init_state(phase.makeSolverInput(), opt.initMu)
     mu0 = jnp.asarray(opt.initMu)
