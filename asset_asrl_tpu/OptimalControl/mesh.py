@@ -240,6 +240,18 @@ def update_mesh(phase, errs):
     n_new = int(np.ceil(S * np.clip(growth, phase.MeshRedFactor,
                                     phase.MeshIncFactor)))
     n_new = int(np.clip(n_new, phase.MinSegments, phase.MaxSegments))
+    # Segment-count bucketing (SURVEY.md section 7 dynamic-shape
+    # mitigation): quantize to a geometric ladder so consecutive mesh
+    # iterations land on REPEATED segment counts — transcription's
+    # structure key then matches and the whole jit/KKT plan is reused
+    # (transcribe() refreshes runtime consts only).  Up to ~30% extra
+    # segments per iteration trades for zero XLA recompiles, which
+    # dominate adaptive-mesh wall time on TPU.
+    if getattr(phase, "MeshBucketing", True):
+        b = max(4, int(phase.MinSegments))
+        while b < n_new:
+            b = int(np.ceil(b * 1.3))
+        n_new = int(min(b, phase.MaxSegments))
 
     # density ~ local error^(1/(order+1)), piecewise constant per old segment
     dens = np.maximum(errs, 1e-14) ** (1.0 / (order + 1))

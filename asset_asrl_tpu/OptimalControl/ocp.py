@@ -188,10 +188,30 @@ class OptimalControlProblem:
         self._link_specs.append(("objective", func, pr))
         return len(self._link_specs) - 1
 
+    def setKKTBackend(self, backend, mesh=None, axis="seg"):
+        """Select the multi-phase KKT backend: 'block' | 'sharded' |
+        'dense' (see `ODEPhaseBase.setKKTBackend`).  'sharded'
+        distributes the concatenated phase chain segment-axis over the
+        mesh; phases are consecutive spans of one global node chain, so
+        the shard seam is the SURVEY section 2.9 P6 block boundary."""
+        backend = str(backend)
+        if backend not in ("block", "sharded", "dense"):
+            raise ValueError(f"unknown KKT backend {backend!r}")
+        if backend == "sharded":
+            if mesh is None:
+                from jax.sharding import Mesh
+                mesh = Mesh(np.array(jax.devices()), (axis,))
+            self.KKTMesh = mesh
+            self.KKTAxis = axis
+        self.KKTBackend = backend
+        return self
+
     # ------------------------------------------------------------ transcribe
     def transcribe(self, *_):
         key = (tuple(p._structure_key() for p in self.Phases),
                tuple(id(s) for s in self._link_specs),
+               getattr(self, "KKTBackend", "block"),
+               id(getattr(self, "KKTMesh", None)),
                self._link_params.size)
         if getattr(self, "_nlp", None) is not None and \
                 key == getattr(self, "_ocp_struct_key", None):
@@ -233,7 +253,8 @@ class OptimalControlProblem:
         self._nlp = nlp
         self._offsets = offsets
         kkt = None
-        if getattr(self, "KKTBackend", "block") == "block":
+        backend = getattr(self, "KKTBackend", "block")
+        if backend in ("block", "sharded"):
             # phases become consecutive spans of one global node chain, so
             # BackToFront links couple adjacent nodes and the whole
             # multi-phase KKT stays block-tridiagonal (+ border for link
@@ -248,6 +269,10 @@ class OptimalControlProblem:
             try:
                 from ..Solvers.kkt_block import BlockKKT
                 kkt = BlockKKT(nlp, nov, x0=self._make_input())
+                if backend == "sharded":
+                    from ..Solvers.kkt_sharded import ShardedBlockKKT
+                    kkt = ShardedBlockKKT(kkt, self.KKTMesh,
+                                          getattr(self, "KKTAxis", "seg"))
             except ValueError as e:
                 if self.optimizer.PrintLevel <= 1:
                     print(f"  [kkt] falling back to dense backend: {e}")

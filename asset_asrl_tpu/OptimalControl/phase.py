@@ -1167,6 +1167,19 @@ class Phase:
             self._scale_vec = None
         self._built = list(zip(eqs + iqs + objs,
                                eq_specs + iq_specs + obj_specs))
+        # Persistent probe-cache slots: sparsity masks survive re-meshing
+        # (keyed by spec identity / builtin family position), so a new
+        # segment count skips the BlockKKT probe jits entirely
+        # (SURVEY.md section 7; see kkt_block.probe_cached).
+        if not hasattr(self, "_probe_store"):
+            self._probe_store = {}
+        for i, (fam, sp) in enumerate(self._built):
+            key = ("spec", id(sp)) if sp is not None else \
+                ("builtin", i, self.TranscriptionMode, self.ControlMode)
+            try:
+                fam.fun._probe_cache = (self._probe_store, key)
+            except AttributeError:
+                pass
         return eqs, iqs, objs
 
     def node_of_var(self):
@@ -1180,7 +1193,35 @@ class Phase:
     def _structure_key(self):
         return (self._numsegs, self.TranscriptionMode, self.ControlMode,
                 self.AutoScaling, self.SPV, self.PV,
+                getattr(self, "KKTBackend", "block"),
+                id(getattr(self, "KKTMesh", None)),
                 tuple(id(s) for s in self._specs))
+
+    def setKKTBackend(self, backend, mesh=None, axis="seg"):
+        """Select the KKT factorization backend.
+
+        'block' (default): single-device block-tridiagonal BCR.
+        'sharded': ONE problem's KKT distributed segment-axis over a
+            device mesh (`Solvers.kkt_sharded.ShardedBlockKKT`) — local
+            BCR per shard, border Schur complements exchanged over ICI.
+            `mesh`: a 1-axis `jax.sharding.Mesh` (defaults to all visible
+            devices on axis `axis`).  Mesh refinement / setTraj re-runs
+            transcription, which re-pads and re-shards the new chain
+            automatically (SURVEY.md section 5.8 re-sharding).
+        'dense': dense eigendecomposition fallback (debug).
+        """
+        backend = str(backend)
+        if backend not in ("block", "sharded", "dense"):
+            raise ValueError(f"unknown KKT backend {backend!r}")
+        if backend == "sharded":
+            if mesh is None:
+                from jax.sharding import Mesh
+                mesh = Mesh(np.array(jax.devices()), (axis,))
+            self.KKTMesh = mesh
+            self.KKTAxis = axis
+        self.KKTBackend = backend
+        self._need_transcribe = True
+        return self
 
     def _refresh_consts(self, nlp=None):
         """Re-transcription without retracing: when the problem structure is
@@ -1230,11 +1271,16 @@ class Phase:
         nlp.freeze()
         self._nlp = nlp
         kkt = None
-        if getattr(self, "KKTBackend", "block") == "block":
+        backend = getattr(self, "KKTBackend", "block")
+        if backend in ("block", "sharded"):
             try:
                 from ..Solvers.kkt_block import BlockKKT
                 kkt = BlockKKT(nlp, self.node_of_var(),
                                x0=self.makeSolverInput())
+                if backend == "sharded":
+                    from ..Solvers.kkt_sharded import ShardedBlockKKT
+                    kkt = ShardedBlockKKT(kkt, self.KKTMesh,
+                                          getattr(self, "KKTAxis", "seg"))
             except ValueError as e:
                 # non-banded coupling (e.g. nonlinear front-to-back
                 # constraints): fall back to the dense backend

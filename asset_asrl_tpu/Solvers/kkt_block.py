@@ -576,6 +576,24 @@ def _inv_sym(D):
             Dinv, pivs = _inv_gj_pivots(D)
     tiny = 1e-25 if Dinv.dtype == jnp.float32 else 1e-250
     bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < tiny)
+    # A pivot whose magnitude sits below the elimination's noise floor has
+    # a meaningless sign: TPU "f64" is double-double f32 emulation
+    # (effective per-op eps ~1e-14), so at the delta=0 probe a true tiny-
+    # negative pivot can compute as tiny-positive, the inertia check
+    # "passes", an indefinite factorization is accepted and the IPM walks
+    # in circles on non-descent directions (observed: nfacs=0 on every
+    # TPU iteration where CPU engages the ladder).  Count sub-noise-floor
+    # pivots as inertia failures so the perturbation ladder engages —
+    # Pardiso's near-zero-pivot perturbation count analog.
+    if D.dtype == jnp.float32:
+        rel = 1e-5
+    elif jax.default_backend() == "tpu":
+        rel = 1e-12
+    else:
+        rel = 0.0
+    if rel > 0.0:
+        scale = jnp.max(jnp.abs(pivs), axis=1, keepdims=True)
+        bad = bad | (jnp.abs(pivs) < rel * scale)
     neg = jnp.sum((pivs < 0) | bad)
     Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
     return Dinv, neg
@@ -834,12 +852,24 @@ def bcr_richardson_solve(fac, rblk, rbrd, nlevels=None, steps=2):
     error by that same ~1e-4 ratio — the residual matvec is exact-blocks
     elementwise work with no recursive amplification — so 1-2 steps
     restore Newton-quality directions (Pardiso QPRefSteps analog,
-    `src/Solvers/PSIOPT.h:146`)."""
+    `src/Solvers/PSIOPT.h:146`).
+
+    When fac carries a Ruiz "scale" (the factorization was of S A S),
+    the preconditioner solves through the scaled factor."""
     matvec = _block_matvec(fac["blocks64"])
-    y, z = bcr_solve(fac, rblk, rbrd, nlevels)
+    scale = fac.get("scale")
+
+    def precond(ry, rz):
+        if scale is None:
+            return bcr_solve(fac, ry, rz, nlevels)
+        sK, sb = scale
+        dy, dz = bcr_solve(fac, sK * ry, sb * rz, nlevels)
+        return sK * dy, sb * dz
+
+    y, z = precond(rblk, rbrd)
     for _ in range(steps):
         Ay, Az = matvec(y, z)
-        dy, dz = bcr_solve(fac, rblk - Ay, rbrd - Az, nlevels)
+        dy, dz = precond(rblk - Ay, rbrd - Az)
         y = y + dy
         z = z + dz
     return y, z
@@ -1172,6 +1202,25 @@ class BlockKKT:
             hess_nz |= hess_nz.T
             return jac_nz, hess_nz
 
+        def probe_cached(f):
+            # Sparsity masks depend on the function, not on how many
+            # applications it has: families carry a persistent cache slot
+            # (`_probe_cache`, attached by the transcription layer) so a
+            # re-mesh at a new segment count skips every probe jit —
+            # the dominant rebuild cost in adaptive-mesh loops
+            # (SURVEY.md section 7 dynamic-shape mitigation).
+            slot = getattr(f.fun, "_probe_cache", None)
+            if slot is not None:
+                store, pkey = slot
+                pkey = (pkey, f.nin, f.nout)
+                hit = store.get(pkey)
+                if hit is not None:
+                    return hit
+                out = probe(f)
+                store[pkey] = out
+                return out
+            return probe(f)
+
         # Probing is structure analysis, not solver math: pin it to the host
         # CPU backend so it never round-trips through a TPU (eager op-by-op
         # dispatch on a remote accelerator would dominate setup time).
@@ -1181,9 +1230,9 @@ class BlockKKT:
             cpu = None
         ctx = jax.default_device(cpu) if cpu is not None else _nullctx()
         with ctx:
-            eq_nz = [probe(f) for f in nlp.eqcons]
-            iq_nz = [probe(f) for f in nlp.iqcons]
-            obj_nz = [probe(f) for f in nlp.objectives]
+            eq_nz = [probe_cached(f) for f in nlp.eqcons]
+            iq_nz = [probe_cached(f) for f in nlp.iqcons]
+            obj_nz = [probe_cached(f) for f in nlp.objectives]
 
         eq_fams = [(f.Vidx, rows, jnz.any(axis=0), hnz.any(axis=0))
                    for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows,
@@ -1573,12 +1622,20 @@ class BlockKKT:
             # time (Pardiso QPRefSteps analog, `PSIOPT.h:146`)
             fac["blocks64"] = (diag, lower, B, C)
             fac["scale"] = (s, sbrd)
+        elif _refine_steps() > 0:
+            # TPU dd-f64 path: Ruiz-equilibrate before factoring so (a)
+            # pivot magnitudes are O(1) and the sub-noise-floor inertia
+            # threshold in _inv_sym is meaningful, and (b) the recursion's
+            # error amplification is minimized; keep the exact blocks for
+            # Richardson refinement at solve time.
+            dq, lq, Bq, Cq, s, sbrd = _ruiz_equilibrate(diag, lower, B, C)
+            fac, neigs = bcr_factor(dq, lq, Bq, Cq, self.nlevels,
+                                    fdtype=fdtype)
+            fac["blocks64"] = (diag, lower, B, C)
+            fac["scale"] = (s, sbrd)
         else:
             fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
                                     fdtype=fdtype)
-            if _refine_steps() > 0:
-                # TPU dd-f64: keep exact blocks for Richardson refinement
-                fac["blocks64"] = (diag, lower, B, C)
         return fac, neigs
 
     def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
@@ -1607,13 +1664,13 @@ class BlockKKT:
         rbrd = full[K * W:]
         if "blocks64" not in fac:
             y, z = bcr_solve(fac, rblk, rbrd, self.nlevels)
-        elif "scale" in fac:
+        elif fac["D0inv"].dtype != DEFAULT_DTYPE:
             # f32 factorization: FGMRES refinement on the equilibrated
             # system (the f32 factor's contraction ratio can approach 1)
             y, z = bcr_refined_solve(fac, rblk, rbrd, self.nlevels)
         else:
-            # exact-dtype factorization on dd-f64 hardware: cheap
-            # Richardson refinement recovers the recursion's lost digits
+            # dd-f64 factorization (Ruiz-scaled on TPU): cheap Richardson
+            # refinement recovers the recursion's lost digits
             y, z = bcr_richardson_solve(fac, rblk, rbrd, self.nlevels,
                                         steps=_refine_steps())
         flat = jnp.concatenate([y.reshape(-1), z])

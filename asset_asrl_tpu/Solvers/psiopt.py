@@ -317,7 +317,9 @@ class PSIOPT:
                 s = jnp.maximum(jnp.asarray(self.LastSlacks),
                                 self.BoundPush * 1e-3)
         from .kkt_block import BlockKKT
-        use_fused = self.UseFused and isinstance(self.kkt, BlockKKT)
+        from .kkt_sharded import ShardedBlockKKT
+        use_fused = self.UseFused and isinstance(
+            self.kkt, (BlockKKT, ShardedBlockKKT))
         flag = ConvergenceFlags.NOTCONVERGED
         for (mode,) in schedule:
             if mode == "SOE":

@@ -15,6 +15,7 @@ from . import Solvers
 from . import OptimalControl
 from . import Astro
 from . import Utils
+from . import distributed  # noqa: F401 -- multi-host init + meshes
 
 __version__ = "0.1.0"
 

@@ -21,8 +21,11 @@ def _mesh(d=8):
     return Mesh(np.array(devs[:d]), ("seg",))
 
 
-@pytest.mark.parametrize("K,W,b", [(16, 3, 2), (33, 4, 3), (40, 5, 0),
-                                   (129, 4, 2)])
+@pytest.mark.parametrize("K,W,b", [
+    (16, 3, 2),
+    pytest.param(33, 4, 3, marks=pytest.mark.slow),
+    pytest.param(40, 5, 0, marks=pytest.mark.slow),
+    pytest.param(129, 4, 2, marks=pytest.mark.slow)])
 def test_sharded_solve_matches_dense(K, W, b):
     mesh = _mesh()
     diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=K + W, spd=True)
@@ -40,7 +43,8 @@ def test_sharded_solve_matches_dense(K, W, b):
     assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
 
 
-@pytest.mark.parametrize("K,W,b", [(24, 3, 2), (65, 4, 3)])
+@pytest.mark.parametrize("K,W,b", [
+    (24, 3, 2), pytest.param(65, 4, 3, marks=pytest.mark.slow)])
 def test_sharded_inertia_matches_dense(K, W, b):
     mesh = _mesh()
     for seed in range(3):
@@ -78,6 +82,79 @@ def test_sharded_matches_single_chip():
     assert np.allclose(np.asarray(z8), np.asarray(z1), atol=1e-9)
 
 
+@pytest.mark.parametrize("K,W,b,hc", [(40, 4, 2, (2, 4)),
+                                      (25, 3, 0, (4, 2))])
+def test_hier_sharded_matches_dense(K, W, b, hc):
+    """Two-level (host x chip) hierarchical substructuring: per-chip
+    elimination, per-host ICI reduction, DCN host-boundary exchange —
+    must reproduce the dense solve and the exact inertia (the multi-host
+    path of BASELINE.md:33, validated on a virtual 2-axis mesh)."""
+    from asset_asrl_tpu.Solvers.kkt_sharded import (sharded_factor_hier,
+                                                    sharded_solve_hier)
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    H, Dc = hc
+    mesh = Mesh(np.array(devs[:8]).reshape(H, Dc), ("host", "chip"))
+    for seed, spd in ((0, True), (5, False)):
+        diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=seed,
+                                                  spd=spd)
+        dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
+                                      jnp.asarray(B), jnp.asarray(C), 8)
+        fac, neigs = sharded_factor_hier(dg, lo, Bp, Cp, mesh)
+        w = np.linalg.eigvalsh(A)
+        assert int(neigs) == int(np.sum(w < 0)), (seed, spd)
+        if not spd:
+            continue
+        rng = np.random.default_rng(seed + 1)
+        r = rng.normal(size=(K, W))
+        rb = rng.normal(size=(b,))
+        rp = jnp.asarray(np.concatenate([r, np.zeros((8 * L - K, W))]))
+        y, z = sharded_solve_hier(fac, rp, jnp.asarray(rb), mesh)
+        sol = np.linalg.solve(A, np.concatenate([r.ravel(), rb]))
+        got = np.concatenate([np.asarray(y)[:K].ravel(), np.asarray(z)])
+        assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
+
+
+@pytest.mark.slow
+def test_phase_sharded_backend_user_api():
+    """User-facing entry: phase.setKKTBackend('sharded') routes the whole
+    optimize() through the segment-axis distributed KKT and reproduces
+    the single-device solution; re-running setTraj re-shards (SURVEY
+    section 5.8)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ge2", __file__.replace("tests/test_kkt_sharded.py",
+                                "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    mesh = _mesh()
+
+    phase1 = ge._small_phase(16)
+    phase1.optimizer.set_PrintLevel(2)
+    phase1.transcribe()
+    x1 = phase1.optimizer.optimize(np.asarray(phase1.makeSolverInput()))
+    f1 = phase1.optimizer.ConvergeFlag
+
+    phase2 = ge._small_phase(16)
+    phase2.setKKTBackend("sharded", mesh=mesh)
+    phase2.optimizer.set_PrintLevel(2)
+    phase2.transcribe()
+    from asset_asrl_tpu.Solvers.kkt_sharded import ShardedBlockKKT
+    assert isinstance(phase2.optimizer.kkt, ShardedBlockKKT)
+    x2 = phase2.optimizer.optimize(np.asarray(phase2.makeSolverInput()))
+    f2 = phase2.optimizer.ConvergeFlag
+    assert f1 == f2 == 0
+    assert np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x1).max()) < 1e-6
+
+    # re-shard on re-mesh: new segment count -> fresh sharded backend
+    phase2.refineTrajManual(20)
+    phase2.transcribe()
+    assert isinstance(phase2.optimizer.kkt, ShardedBlockKKT)
+    assert phase2.optimizer.kkt.bs.K != phase1.optimizer.kkt.bs.K
+
+
+@pytest.mark.slow
 def test_sharded_full_solve_matches_single():
     """FULL fused PSIOPT solve with the segment-axis ShardedBlockKKT over
     the 8-device mesh reproduces the single-device solve (BASELINE.md:33

@@ -86,8 +86,14 @@ print("dx32 finite", bool(jnp.isfinite(dx32).all()),
                                / jnp.linalg.norm(dx)), flush=True)
 KB.FACTOR_DTYPE = "f64"
 
-# 7. full fused solve (bench semantics)
-fn = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")
+# 7. full fused solve (bench semantics; stepwise above the program-size
+# fault threshold, exactly like bench.py / phase.optimize())
+from asset_asrl_tpu.Solvers.fused import run_stepwise
+if kkt.bs.K > 3072 and jax.default_backend() == "tpu":
+    parts = build_fused_alg(kkt, opt._opts_snapshot(), "OPT", parts=True)
+    fn = lambda *a: run_stepwise(parts, *a)  # noqa: E731
+else:
+    fn = build_fused_alg(kkt, opt._opts_snapshot(), "OPT")
 mu0 = jnp.asarray(opt.initMu)
 t0 = time.time()
 out = fn(x, s, lamE, lamI, mu0, consts)
