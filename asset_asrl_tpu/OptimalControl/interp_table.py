@@ -22,6 +22,80 @@ __all__ = ["LGLInterpTable", "InterpFunction"]
 
 class LGLInterpTable:
 
+    @classmethod
+    def from_phase(cls, phase):
+        """Scheme-order table from a transcribed phase (reference
+        `LGLInterpTable.cpp` interpolates at the transcription's own
+        order): per segment, the states use the SAME degree-(2cs-1)
+        Hermite interpolant the LGL defects are built on (values + ODE
+        tangents at the cs cardinal nodes) and the controls use the
+        scheme's degree-(cs-1) Lagrange interpolant — so table lookups,
+        setTraj re-sampling, and controller closures keep the mesh's
+        h^(2cs-2) accuracy instead of degrading to cubic."""
+        import jax
+        sch = phase._scheme
+        cs = phase._cs
+        XV, UV = phase.XV, phase.UV
+        traj = phase._traj
+        T = phase.tf - phase.t0
+        S = phase.numSegs
+        deg = 2 * cs - 1
+
+        rows_full = np.concatenate(
+            [traj, np.tile(phase._odeparams, (traj.shape[0], 1))], axis=1)
+        fs_all = np.asarray(
+            jax.vmap(phase.ode.vf().trace)(rows_full))[:, :XV]
+
+        A = np.zeros((2 * cs, deg + 1))
+        for j, tc in enumerate(sch.cardinal_tau):
+            A[j] = tc ** np.arange(deg + 1)
+            r = np.zeros(deg + 1)
+            r[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
+            A[cs + j] = r
+        Ainv = np.linalg.inv(A)
+
+        hs = np.diff(phase.seg_bounds) * T
+        xs = traj[phase.seg_nodes, :XV]
+        fs = fs_all[phase.seg_nodes]
+        rhs = np.concatenate([xs, hs[:, None, None] * fs], axis=1)
+        coef = np.einsum("ij,sjx->six", Ainv, rhs)       # (S, deg+1, XV)
+        # control Lagrange coefficients in sigma (degree cs-1)
+        Au = np.stack([tc ** np.arange(cs) for tc in sch.cardinal_tau])
+        us = traj[phase.seg_nodes, XV + 1:]              # (S, cs, UV)
+        ucoef = np.einsum("ij,sju->siu", np.linalg.inv(Au), us) \
+            if UV else np.zeros((S, cs, 0))
+
+        tab = cls.__new__(cls)
+        tab._ode = None
+        tab._init_from_rows(np.asarray(traj), XV)
+        tab._scheme_mode = True
+        tab._seg_t = phase.t0 + phase.seg_bounds * T     # (S+1,)
+        tab._seg_h = hs
+        tab._coef = coef
+        tab._ucoef = ucoef
+        tab._deg = deg
+        tab._cs = cs
+        tab._xv, tab._uv = XV, UV
+        return tab
+
+    def eval_batch(self, ts):
+        """Vectorized scheme-order evaluation (numpy): (N,) times ->
+        (N, XV+UV) value rows (no time column)."""
+        if not getattr(self, "_scheme_mode", False):
+            return np.stack([np.delete(self.Interpolate(t), self.tcol)
+                             for t in np.asarray(ts, float)])
+        ts = np.clip(np.asarray(ts, float), self._seg_t[0], self._seg_t[-1])
+        k = np.clip(np.searchsorted(self._seg_t, ts, side="right") - 1,
+                    0, len(self._seg_h) - 1)
+        sig = (ts - self._seg_t[k]) / self._seg_h[k]
+        pw = sig[:, None] ** np.arange(self._deg + 1)
+        x = np.einsum("nd,ndx->nx", pw, self._coef[k])
+        if self._uv:
+            pu = sig[:, None] ** np.arange(self._cs)
+            u = np.einsum("nd,ndu->nu", pu, self._ucoef[k])
+            return np.concatenate([x, u], axis=1)
+        return x
+
     def __init__(self, *args):
         """Forms (reference bindings):
         LGLInterpTable(odevf, XV, UV, traj)      — tangents from the ODE
@@ -43,11 +117,15 @@ class LGLInterpTable:
         else:
             raise TypeError("LGLInterpTable: bad arguments")
         self._ode = ode
-        ts = rows[:, self.tcol]
+        self._init_from_rows(rows, self.tcol, ode)
+
+    def _init_from_rows(self, rows, tcol, ode=None):
+        self.tcol = tcol
+        ts = rows[:, tcol]
         order = np.argsort(ts)
         rows = rows[order]
-        self.ts = rows[:, self.tcol].copy()
-        self.vals = np.delete(rows, self.tcol, axis=1)
+        self.ts = rows[:, tcol].copy()
+        self.vals = np.delete(rows, tcol, axis=1)
         self.rows = rows
         self.TotalT = float(self.ts[-1] - self.ts[0])
         self.T0 = float(self.ts[0])
@@ -72,9 +150,24 @@ class LGLInterpTable:
 
     # -------------------------------------------------------------- queries
     def interp_traced(self, t):
-        """Traced cubic-Hermite interpolation at scalar time t -> row of
-        all value columns.  The table data are numpy closure constants
-        (cheap jit lowering); convert here so traced indexing works."""
+        """Traced interpolation at scalar time t -> row of all value
+        columns: the scheme's own per-segment polynomials when built with
+        from_phase (order-consistent), cubic Hermite otherwise.  The table
+        data are numpy closure constants (cheap jit lowering); convert
+        here so traced indexing works."""
+        if getattr(self, "_scheme_mode", False):
+            st = jnp.asarray(self._seg_t)
+            tcl = jnp.clip(t, st[0], st[-1])
+            k = jnp.clip(jnp.searchsorted(st, tcl, side="right") - 1,
+                         0, len(self._seg_h) - 1)
+            sig = (tcl - st[k]) / jnp.asarray(self._seg_h)[k]
+            pw = sig ** jnp.arange(self._deg + 1)
+            x = pw @ jnp.asarray(self._coef)[k]
+            if self._uv:
+                pu = sig ** jnp.arange(self._cs)
+                u = pu @ jnp.asarray(self._ucoef)[k]
+                return jnp.concatenate([x, u])
+            return x
         ts = jnp.asarray(self._jts)
         vs = jnp.asarray(self._jvals)
         dvs = jnp.asarray(self._jtan)

@@ -306,8 +306,9 @@ def _mesh_loop_body(phase, method, flag):
             phase.MeshConverged = True
             return flag
         n_new, bounds = update_mesh(phase, errs)
-        traj = phase.returnTraj()
-        phase.setTraj(traj, n_new, seg_bounds=bounds)
+        # scheme-order re-interpolation onto the new mesh (reference
+        # re-samples through LGLInterpTable at transcription order)
+        phase.resampleTraj(n_new, seg_bounds=bounds)
         flag = phase._psipot_call(method)
     phase.MeshConverged = False
     return flag

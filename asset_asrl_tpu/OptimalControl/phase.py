@@ -256,11 +256,32 @@ class Phase:
     def refineTrajManual(self, numsegs):
         """Re-mesh the current trajectory onto `numsegs` segments
         (reference `ODEPhaseBase.cpp:673`)."""
-        traj = self.returnTraj()
-        self.setTraj(traj, numsegs)
+        self.resampleTraj(numsegs)
 
     def refineTrajEqual(self, numsegs):
         self.refineTrajManual(numsegs)
+
+    def resampleTraj(self, numsegs, seg_bounds=None):
+        """Re-mesh through the scheme-order interpolant: new node states
+        from the degree-(2cs-1) segment Hermite, controls from the
+        scheme's Lagrange interpolant — keeps the solution's h^(2cs-2)
+        accuracy across mesh updates (reference re-interpolates via
+        LGLInterpTable at transcription order; plain setTraj on raw rows
+        is linear)."""
+        from .interp_table import LGLInterpTable
+        if self._traj is None:
+            raise ValueError("resampleTraj requires an existing trajectory")
+        tab = LGLInterpTable.from_phase(self)
+        self._numsegs = int(numsegs)
+        self._node_structure(self._numsegs, seg_bounds=seg_bounds)
+        ts_new = self.t0 + self.taus * (self.tf - self.t0)
+        vals = tab.eval_batch(ts_new)                   # (N, XV+UV)
+        rows = np.empty((len(ts_new), self.XV + 1 + self.UV))
+        rows[:, :self.XV] = vals[:, :self.XV]
+        rows[:, self.XV] = ts_new
+        rows[:, self.XV + 1:] = vals[:, self.XV:]
+        self._traj = rows
+        self._need_transcribe = True
 
     # ------------------------------------------------------------ params API
     def setStaticParams(self, vals, *args):
@@ -1385,8 +1406,11 @@ class Phase:
         return [row.copy() for row in out]
 
     def returnTrajTable(self):
+        """Scheme-order interpolation table of the current trajectory
+        (reference returnTrajTable, `ODEPhaseBase.cpp:704`; interpolates
+        at the transcription's own order, `LGLInterpTable.cpp`)."""
         from .interp_table import LGLInterpTable
-        return LGLInterpTable(self.ode, self.returnTraj())
+        return LGLInterpTable.from_phase(self)
 
     def returnStaticParams(self):
         return self._static_params.copy()

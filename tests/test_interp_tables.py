@@ -130,3 +130,67 @@ def test_table_in_expression_fd():
         fd = (np.asarray(fn.compute(xp))[0]
               - np.asarray(fn.compute(xm))[0]) / (2 * eps)
         assert abs(J[0, i] - fd) < 1e-4
+
+
+# ---------------------------------------- scheme-order trajectory table
+def test_phase_table_scheme_order():
+    """from_phase tables interpolate at the transcription's own order
+    (reference `LGLInterpTable.cpp`): on exact harmonic-oscillator
+    samples an LGL5 (cs=3) table must converge ~h^6 — far beyond
+    cubic's h^4 — and LGL7 beyond that."""
+    import asset_asrl_tpu as ast
+    from asset_asrl_tpu.OptimalControl.interp_table import LGLInterpTable
+    oc = ast.OptimalControl
+
+    class Osc(oc.ODEBase):
+        def __init__(self):
+            XtU = oc.ODEArguments(2, 0)
+            super().__init__(vf.stack([XtU.XVar(1), -1.0 * XtU.XVar(0)]),
+                             2, 0)
+
+    def exact(ts):
+        return np.stack([np.cos(ts), -np.sin(ts)], axis=1)
+
+    tq = np.linspace(0.05, 2.95, 731)
+
+    for mode, cs, min_order, sizes in (("LGL5", 3, 5.0, (6, 12)),
+                                       ("LGL7", 4, 6.5, (2, 4))):
+        errs = []
+        for S in sizes:
+            ode = Osc()
+            ts0 = np.linspace(0, 3.0, 40)
+            IG = [[np.cos(t), -np.sin(t), t] for t in ts0]
+            ph = ode.phase(mode, IG, S)
+            # exact samples at the node times (no setTraj interp error)
+            tn = ph.t0 + ph.taus * (ph.tf - ph.t0)
+            ph._traj = np.concatenate([exact(tn), tn[:, None]], axis=1)
+            tab = LGLInterpTable.from_phase(ph)
+            vals = tab.eval_batch(tq)
+            errs.append(np.max(np.abs(vals - exact(tq))))
+        order = np.log2(errs[0] / errs[1])
+        assert order > min_order, (mode, errs, order)
+
+
+def test_resample_traj_scheme_order():
+    """resampleTraj keeps the solution's accuracy: re-meshing exact LGL5
+    samples onto a finer mesh must incur only ~h^6 error, not linear."""
+    import asset_asrl_tpu as ast
+    oc = ast.OptimalControl
+
+    class Osc(oc.ODEBase):
+        def __init__(self):
+            XtU = oc.ODEArguments(2, 0)
+            super().__init__(vf.stack([XtU.XVar(1), -1.0 * XtU.XVar(0)]),
+                             2, 0)
+
+    ode = Osc()
+    ts0 = np.linspace(0, 3.0, 40)
+    IG = [[np.cos(t), -np.sin(t), t] for t in ts0]
+    ph = ode.phase("LGL5", IG, 8)
+    tn = ph.t0 + ph.taus * (ph.tf - ph.t0)
+    ph._traj = np.concatenate(
+        [np.stack([np.cos(tn), -np.sin(tn)], axis=1), tn[:, None]], axis=1)
+    ph.resampleTraj(13)
+    tn2 = ph.t0 + ph.taus * (ph.tf - ph.t0)
+    err = np.max(np.abs(ph._traj[:, 0] - np.cos(tn2)))
+    assert err < 5e-7, err   # linear resampling would be ~1e-2
