@@ -16,7 +16,7 @@ import numpy as np
 
 from ... import VectorFunctions as vf
 from ...OptimalControl.interp_table import LGLInterpTable, InterpFunction
-from ...OptimalControl.fdtable import FiniteDiffTable
+
 from ..Frames import CR3BPFrame
 from .. import Constants as c
 
@@ -30,7 +30,10 @@ def _normalize(x):
     return np.copy(x) / norm(x)
 
 
-class EPPRFrame(CR3BPFrame):
+from .frame_kinematics import BodyRegistry
+
+
+class EPPRFrame(CR3BPFrame, BodyRegistry):
 
     def __init__(self, P1name, P1mu, P2name, P2mu, Lstar, JD0, JDF,
                  N=3000, SpiceFrame="J2000", P1Data=None, P2Data=None):
@@ -46,10 +49,7 @@ class EPPRFrame(CR3BPFrame):
                                    self.tstar, Frame=SpiceFrame)
         self.P1Data = [np.asarray(r, np.float64) for r in P1Data]
         self.P2Data = [np.asarray(r, np.float64) for r in P2Data]
-        self.AltBodyGTables = {}
-        self.AltBodyLocFuncs = {}
-        self.AltBodyMuVals = {}
-        self.AltBodyNames = []
+        self._init_body_registry()
         self.CalcFrameData()
         self.P1_J2 = False
         self.P2_J2 = False
@@ -85,76 +85,45 @@ class EPPRFrame(CR3BPFrame):
 
     # --------------------------------------------------------- frame data
     def CalcFrameData(self):
+        """Derive every frame quantity by jax AD of smooth ephemeris
+        interpolants (`frame_kinematics.rotating_frame_samples`) — the
+        TPU-native replacement for the reference's finite-difference
+        table pipeline (`EPPRFrame.py` CalcFrameData) — then sample the
+        results onto the interp tables the expression layer consumes."""
+        from .frame_kinematics import (DifferentiableEphemeris,
+                                       rotating_frame_samples)
         P1D, P2D = self.P1Data, self.P2Data
-        BCData = []
-        for T1, T2 in zip(P1D, P2D):
-            B = np.copy(T1)
-            B[0:6] = (self.P1mu * T1[0:6] + self.P2mu * T2[0:6]) \
-                / (self.P1mu + self.P2mu)
-            BCData.append(B)
-        self.BCData = BCData
-        BCDot = FiniteDiffTable(6, BCData).all_derivs(1, 4)
+        eph1 = DifferentiableEphemeris(P1D)
+        eph2 = DifferentiableEphemeris(P2D)
+        m1 = self.P1mu / (self.P1mu + self.P2mu)
+        ts = np.asarray([r[6] for r in P1D])
+        smp = rotating_frame_samples(eph1, eph2, m1, 1.0 - m1, ts)
 
-        RelData = []
-        for T1, T2 in zip(P1D, P2D):
-            R = np.copy(T2)
-            R[0:6] = T2[0:6] - T1[0:6]
-            RelData.append(R)
-        self.RelData = RelData
+        def rows(*cols):
+            return [np.concatenate([np.atleast_1d(np.asarray(c)[i])
+                                    for c in cols] + [[ts[i]]])
+                    for i in range(len(ts))]
 
-        Rdata = [[norm(T[0:3]), T[6]] for T in RelData]
-        Rdiff = FiniteDiffTable(1, Rdata)
-        self.RData = []
-        for i, (R, t) in enumerate(Rdata):
-            Rdot = Rdiff.deriv(i, 1, 4)[0]
-            Rddot = Rdiff.deriv(i, 2, 4)[0]
-            self.RData.append([R, Rdot, Rddot, t])
-
-        RotData = []
-        for T in RelData:
-            r, v = T[0:3], T[3:6]
-            xhat = _normalize(r)
-            zhat = _normalize(np.cross(r, v))
-            yhat = _normalize(np.cross(zhat, xhat))
-            RotData.append(list(xhat) + list(yhat) + list(zhat) + [T[6]])
-        self.RotData = RotData
-        D1Rot = FiniteDiffTable(9, RotData).all_derivs(1, 4)
-
-        WData, BCaccData = [], []
-        GscaleData, VscaleData, RscaleData, AccscaleData = [], [], [], []
-        for i, rot in enumerate(RotData):
-            drot = D1Rot[i]
-            t = rot[9]
-            R, Rdot, Rddot, _ = self.RData[i]
-            DCM = np.array([rot[0:3], rot[3:6], rot[6:9]]).T
-            dDCM = np.array([drot[0:3], drot[3:6], drot[6:9]]).T
-            Omat = dDCM @ DCM.T
-            w = np.array([Omat[2, 1], Omat[0, 2], Omat[1, 0]])
-            WData.append(np.concatenate([DCM.T @ w, [t]]))
-            BCaccData.append(np.concatenate(
-                [-(DCM.T @ (BCDot[i][3:6] / R)), [t]]))
-            GscaleData.append([R ** (-3), t])
-            AccscaleData.append([1 / R, t])
-            VscaleData.append([-2.0 * Rdot / R, t])
-            RscaleData.append([-Rddot / R, t])
-        # all_derivs also differentiates the time column; restore t
-        WdotData = [np.concatenate([d[0:3], [WData[i][3]]])
-                    for i, d in enumerate(
-                        FiniteDiffTable(3, WData).all_derivs(1, 4))]
+        self.BCData = rows(smp["BC"])
+        self.RelData = rows(np.asarray(
+            [eph2.state(t) for t in ts]) - np.asarray(
+            [eph1.state(t) for t in ts]))
+        self.RData = rows(smp["R"], smp["Rdot"], smp["Rddot"])
+        self.RotData = rows(smp["rot"])
 
         T = LGLInterpTable
         self.P1Table = T(6, P1D, len(P1D))
         self.P2Table = T(6, P2D, len(P2D))
-        self.BCTable = T(6, BCData, len(BCData))
-        self.RotTable = T(9, RotData, len(RotData))
-        self.RTable = T(3, self.RData, len(self.RData))
-        self.WTable = T(3, WData, len(WData))
-        self.WdotTable = T(3, WdotData, len(WdotData))
-        self.BCaccTable = T(3, BCaccData, len(BCaccData))
-        self.GscaleTable = T(1, GscaleData, len(GscaleData))
-        self.VscaleTable = T(1, VscaleData, len(VscaleData))
-        self.RscaleTable = T(1, RscaleData, len(RscaleData))
-        self.AccscaleTable = T(1, AccscaleData, len(AccscaleData))
+        self.BCTable = T(6, self.BCData, len(ts))
+        self.RotTable = T(9, self.RotData, len(ts))
+        self.RTable = T(3, self.RData, len(ts))
+        self.WTable = T(3, rows(smp["W"]), len(ts))
+        self.WdotTable = T(3, rows(smp["Wdot"]), len(ts))
+        self.BCaccTable = T(3, rows(smp["BCacc"]), len(ts))
+        self.GscaleTable = T(1, rows(smp["Gscale"]), len(ts))
+        self.VscaleTable = T(1, rows(smp["Vscale"]), len(ts))
+        self.RscaleTable = T(1, rows(smp["Rscale"]), len(ts))
+        self.AccscaleTable = T(1, rows(smp["Accscale"]), len(ts))
 
         F = InterpFunction
         self.RotFunc = F(self.RotTable, range(0, 9))
@@ -177,47 +146,44 @@ class EPPRFrame(CR3BPFrame):
         return np.array([_normalize(rot[0:3]), _normalize(rot[3:6]),
                          _normalize(rot[6:9])]).T
 
-    def NDInertial_to_Frame_Func(self):
-        args = Args(16)
-        X = args.head(3)
-        V = args.segment3(3)
-        t = args[6]
-        Xbc = args.segment3(7)
-        Vbc = args.segment3(10)
-        r = args[13]
-        rdot = args[14]
-        DCMT = vf.RowMatrix(self.RotFunc.eval(t), 3, 3)
+    def _frame_kinematics_at(self, t):
+        """(DCM rows expr, W, barycenter state, R row) at expression
+        time t — shared by both transform builders.  The trace-time CSE
+        cache dedupes the repeated table lookups, so single-stage
+        composition costs the same as the reference's two-stage
+        argument-packing idiom."""
+        rot = self.RotFunc.eval(t)
         W = self.WFunc.eval(t)
-        Xnd = (X - Xbc) / r
-        Vnd = (V - Vbc) / r
-        Xrot = DCMT * Xnd
-        Vrot = DCMT * Vnd + vf.cross(Xrot, W) - Xrot * (rdot / r)
-        state = vf.stack([Xrot, Vrot, t])
-        realargs = Args(7)
-        t2 = realargs[6]
-        dataargs = vf.stack([realargs, self.BCFunc.eval(t2),
-                             self.RFunc.eval(t2)])
-        return state.eval(dataargs)
+        bc = self.BCFunc.eval(t)
+        rrow = self.RFunc.eval(t)
+        return rot, W, bc, rrow
+
+    def NDInertial_to_Frame_Func(self):
+        """(7,) inertial [X, V, t] -> pulsating-rotating [Xrot, Vrot, t]:
+        translate to the barycenter, scale lengths by 1/r(t), rotate by
+        DCM^T, and remove the frame's rotation + pulsation velocity."""
+        S = Args(7)
+        X, V, t = S.head3(), S.segment3(3), S[6]
+        rot, W, bc, rrow = self._frame_kinematics_at(t)
+        rr, rdot = rrow[0], rrow[1]
+        DCMT = vf.RowMatrix(rot, 3, 3)
+        Xrot = DCMT * ((X - bc.head3()) / rr)
+        Vrel = DCMT * ((V - bc.segment3(3)) / rr)
+        Vrot = Vrel - vf.cross(W, Xrot) - Xrot * (rdot / rr)
+        return vf.stack([Xrot, Vrot, t])
 
     def Frame_to_NDInertial_Func(self):
-        args = Args(16)
-        Xrot = args.head(3)
-        Vrot = args.segment3(3)
-        t = args[6]
-        Xbc = args.segment3(7)
-        Vbc = args.segment3(10)
-        r = args[13]
-        rdot = args[14]
-        DCM = vf.ColMatrix(self.RotFunc.eval(t), 3, 3)
-        W = self.WFunc.eval(t)
-        Xnd = (DCM * Xrot) * r + Xbc
-        Vnd = (DCM * (Vrot - vf.cross(Xrot, W) + Xrot * (rdot / r))) * r + Vbc
-        state = vf.stack([Xnd, Vnd, t])
-        realargs = Args(7)
-        t2 = realargs[6]
-        dataargs = vf.stack([realargs, self.BCFunc.eval(t2),
-                             self.RFunc.eval(t2)])
-        return state.eval(dataargs)
+        """Inverse of NDInertial_to_Frame_Func: add back the rotation and
+        pulsation rates, rotate by DCM, scale by r(t), translate."""
+        S = Args(7)
+        Xrot, Vrot, t = S.head3(), S.segment3(3), S[6]
+        rot, W, bc, rrow = self._frame_kinematics_at(t)
+        rr, rdot = rrow[0], rrow[1]
+        DCM = vf.ColMatrix(rot, 3, 3)
+        Vrel = Vrot + vf.cross(W, Xrot) + Xrot * (rdot / rr)
+        Xnd = (DCM * Xrot) * rr + bc.head3()
+        Vnd = (DCM * Vrel) * rr + bc.segment3(3)
+        return vf.stack([Xnd, Vnd, t])
 
     def NDInertial_to_EPPR(self, ITraj, axis=6):
         F = self.NDInertial_to_Frame_Func()
@@ -242,12 +208,7 @@ class EPPRFrame(CR3BPFrame):
 
     # ------------------------------------------------------------- bodies
     def AddBodyTable(self, Name, EPPRTraj, mu):
-        GTraj = [np.array([r[0], r[1], r[2], r[-1]]) for r in EPPRTraj]
-        self.AltBodyGTables[Name] = LGLInterpTable(3, GTraj, len(GTraj))
-        self.AltBodyLocFuncs[Name] = InterpFunction(
-            self.AltBodyGTables[Name], range(0, 3))
-        self.AltBodyMuVals[Name] = mu / self.mustar
-        self.AltBodyNames.append(Name)
+        self.register_body(Name, EPPRTraj, mu / self.mustar)
 
     def GetSpiceBodyEPPRTraj(self, Name, N):
         from ..SpiceRead import GetEphemTraj2
@@ -288,39 +249,48 @@ class EPPRFrame(CR3BPFrame):
         self._p1_pole = np.asarray(pole, np.float64)
 
     # --------------------------------------------------------------- EOMs
-    def EPPREOMs(self, r, v, t, otherGaccs=[], otherAccs=[], otherEOMs=[],
-                 ActiveAltBodies="All", Enable_J2=False):
-        """Pulsating-rotating EOMs (reference EPPREOMs): two-body gravity of
-        P1/P2 at their frozen frame locations + alt-body gravity, all scaled
-        by 1/r(t)^3, plus Coriolis/centrifugal (W), Euler (Wdot),
-        barycenter-acceleration, and pulsation corrections."""
-        Gscale = self.GscaleFunc.eval(t)
-        Rscale = self.RscaleFunc.eval(t)
-        Vscale = self.VscaleFunc.eval(t)
-        BCacc = self.BCaccFunc.eval(t)
+    def _gravity(self, r, t, otherGaccs, ActiveAltBodies):
+        """Gravity of P1/P2 at their frozen frame locations plus active
+        alt bodies, in pulsating units (the 1/r(t)^3 factor restores
+        physical gravity after the length pulsation)."""
+        terms = [r.normalized_power3(-self.P1, self.mu - 1.0),
+                 r.normalized_power3(-self.P2, -self.mu)]
+        terms += list(otherGaccs)
+        names = self.AltBodyNames if ActiveAltBodies == "All" \
+            else ActiveAltBodies
+        for nm in names:
+            dr = self.AltBodyLocFuncs[nm].eval(t) - r
+            terms.append(dr.normalized_power3() * self.AltBodyMuVals[nm])
+        return vf.sum(terms) * self.GscaleFunc.eval(t)
+
+    def _frame_corrections(self, r, v, t):
+        """Non-inertial accelerations of the pulsating-rotating frame,
+        term by term: Coriolis -2 W x v, centrifugal -W x (W x r), Euler
+        -Wdot x r, the rotation/pulsation cross term, the barycenter
+        correction, and the direct pulsation accelerations.  (Same
+        physics as reference EPPREOMs; derived independently from the
+        transform kinematics.)"""
         W = self.WFunc.eval(t)
         Wdot = self.WdotFunc.eval(t)
+        Vs = self.VscaleFunc.eval(t)
+        coriolis = -2.0 * vf.cross(W, v)
+        centrifugal = -1.0 * vf.cross(W, vf.cross(W, r))
+        euler = vf.cross(r, Wdot)
+        rot_pulse = vf.cross(W, r) * Vs
+        pulse = r * self.RscaleFunc.eval(t) + v * Vs
+        bc = self.BCaccFunc.eval(t)
+        return [coriolis, centrifugal, euler, rot_pulse, pulse, bc]
 
-        g1 = r.normalized_power3(-self.P1, self.mu - 1.0)
-        g2 = r.normalized_power3(-self.P2, -self.mu)
-        GravTerms = [g1, g2] + list(otherGaccs)
-        Names = self.AltBodyNames if ActiveAltBodies == "All" \
-            else ActiveAltBodies
-        for Name in Names:
-            rBody = self.AltBodyLocFuncs[Name].eval(t)
-            muB = self.AltBodyMuVals[Name]
-            GravTerms.append((rBody - r).normalized_power3() * muB)
-        Grav = vf.sum(GravTerms) * Gscale
-
+    def EPPREOMs(self, r, v, t, otherGaccs=[], otherAccs=[], otherEOMs=[],
+                 ActiveAltBodies="All", Enable_J2=False):
+        """Pulsating-rotating EOMs (reference EPPREOMs, same dynamics):
+        scaled two-body + alt-body gravity plus the frame corrections of
+        `_frame_corrections`."""
         accs = list(otherAccs)
         if Enable_J2:
             accs += self.J2_ACC(r, t)
-        wtemp = vf.sum([(-2.0) * v, Vscale * r, vf.cross(r, W)])
-        Wacc = vf.cross(W, wtemp)
-        Wdotacc = vf.cross(r, Wdot)
-        Pulse1 = r * Rscale
-        Pulse2 = v * Vscale
-        acc = vf.sum([Grav, Wacc, Wdotacc, BCacc, Pulse1, Pulse2] + accs)
+        acc = vf.sum([self._gravity(r, t, otherGaccs, ActiveAltBodies)]
+                     + self._frame_corrections(r, v, t) + accs)
         return vf.stack([v, acc] + list(otherEOMs))
 
     def J2_ACC(self, r, t):

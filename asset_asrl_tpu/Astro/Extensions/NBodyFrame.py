@@ -21,7 +21,7 @@ import numpy as np
 
 from ... import VectorFunctions as vf
 from ...OptimalControl.interp_table import LGLInterpTable, InterpFunction
-from ...OptimalControl.fdtable import FiniteDiffTable
+
 from ..Frames import TwoBodyFrame
 from .. import Constants as c
 
@@ -43,7 +43,10 @@ def KeplerianEphemeris(mu, elements, t0, tf, N, phase0=0.0):
     return [np.concatenate([XV[i, :6], [ts[i]]]) for i in range(len(ts))]
 
 
-class NBodyFrame(TwoBodyFrame):
+from .frame_kinematics import BodyRegistry
+
+
+class NBodyFrame(TwoBodyFrame, BodyRegistry):
 
     def __init__(self, P1name, P1mu, Lstar, JD0, JDF, N=3000,
                  SpiceFrame="J2000", P1Data=None):
@@ -57,10 +60,7 @@ class NBodyFrame(TwoBodyFrame):
             P1Data = GetEphemTraj2(P1name, JD0, JDF, N, self.lstar,
                                    self.tstar, Frame=SpiceFrame)
         self.P1Data = [np.asarray(r, np.float64) for r in P1Data]
-        self.AltBodyGTables = {}
-        self.AltBodyLocFuncs = {}
-        self.AltBodyMuVals = {}
-        self.AltBodyNames = []
+        self._init_body_registry()
         self.CalcFrameData()
         self.P1_J2 = False
 
@@ -121,12 +121,7 @@ class NBodyFrame(TwoBodyFrame):
         rows = [np.asarray(r, np.float64) for r in Traj]
         if not frame_relative:
             rows = self.NDInertial_to_Frame(rows)
-        GTraj = [np.array([r[0], r[1], r[2], r[-1]]) for r in rows]
-        self.AltBodyGTables[Name] = LGLInterpTable(3, GTraj, len(GTraj))
-        self.AltBodyLocFuncs[Name] = InterpFunction(
-            self.AltBodyGTables[Name], range(0, 3))
-        self.AltBodyMuVals[Name] = mu / self.mustar
-        self.AltBodyNames.append(Name)
+        self.register_body(Name, rows, mu / self.mustar)
 
     def GetSpiceBodyTraj(self, Name, N):
         from ..SpiceRead import GetEphemTraj2
@@ -157,14 +152,19 @@ class NBodyFrame(TwoBodyFrame):
 
     # --------------------------------------------------------- frame data
     def CalcFrameData(self):
+        """P1's inertial acceleration (the frame's non-inertiality
+        correction) by jax AD of the smooth ephemeris interpolant
+        (`frame_kinematics`), replacing the reference's finite-difference
+        table pipeline."""
+        from .frame_kinematics import (DifferentiableEphemeris,
+                                       center_acceleration_samples)
         self.P1Table = LGLInterpTable(6, self.P1Data, len(self.P1Data))
         self.P1Func = InterpFunction(self.P1Table, range(0, 6))
-        # P1's inertial acceleration (frame non-inertiality correction):
-        # -d(v1)/dt via arbitrary-grid FD of the ephemeris (reference uses
-        # FiniteDiffTable the same way)
-        accrows = FiniteDiffTable(6, self.P1Data).all_derivs(1, 4)
-        P1AccD = [np.array([-A[3], -A[4], -A[5], T[6]])
-                  for A, T in zip(accrows, self.P1Data)]
+        eph = DifferentiableEphemeris(self.P1Data)
+        ts = np.asarray([r[6] for r in self.P1Data])
+        negacc = center_acceleration_samples(eph, ts)
+        P1AccD = [np.concatenate([negacc[i], [ts[i]]])
+                  for i in range(len(ts))]
         self.P1AccTable = LGLInterpTable(3, P1AccD, len(P1AccD))
         self.P1AccFunc = InterpFunction(self.P1AccTable, range(0, 3))
 
