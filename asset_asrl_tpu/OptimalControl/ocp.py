@@ -301,8 +301,127 @@ class OptimalControlProblem:
                     [offset + phase._spi(k) for k in range(phase.SPV)], 0.0)
         raise ValueError(f"unsupported link region {region}")
 
+    def _path_pack(self, phase, offset):
+        """Per-node gather spec for a Path link region: row j gathers
+        [node j vars, t0, tf, op, sp]; consts carry tau_j so the node
+        time is reconstructed per application."""
+        m = phase._m
+        N = phase.numNodes
+        cols = m + 2 + phase.PV + phase.SPV
+        idx = np.empty((N, cols), np.int64)
+        idx[:, :m] = offset + np.arange(N)[:, None] * m + np.arange(m)
+        idx[:, m] = offset + phase._t0i
+        idx[:, m + 1] = offset + phase._tfi
+        for k in range(phase.PV):
+            idx[:, m + 2 + k] = offset + phase._opi(k)
+        for k in range(phase.SPV):
+            idx[:, m + 2 + phase.PV + k] = offset + phase._spi(k)
+        return idx, np.asarray(phase.taus)
+
+    def _transcribe_path_link(self, nlp, func, sel, lp, kind):
+        """Per-node link applications (reference LinkFlags::PathToPath,
+        `OptimalControlProblem.cpp:675`): the phases' Path regions are
+        zipped node-for-node into one multi-application family — every
+        Path phase must discretize to the same node count.  Non-Path
+        entries broadcast their boundary gather to every node.  The
+        rows ride the normal banded/border routing of the block KKT."""
+        trace = None
+        if func is not None:
+            trace, _, _ = _tracefun(func)
+        packs = []
+        idx_parts, tau_cols = [], []
+        napps = None
+        lo = 0
+        for p, r, xtuv, opv, spv in sel:
+            if r in ("Path", "InnerPath"):
+                idx2d, taus = self._path_pack(
+                    p, self._offsets_map[id(p)])
+                if napps is None:
+                    napps = idx2d.shape[0]
+                elif idx2d.shape[0] != napps:
+                    raise ValueError(
+                        "PathToPath link requires equal node counts "
+                        f"({idx2d.shape[0]} vs {napps})")
+            else:
+                pack = self._region_pack(p, self._offsets_map[id(p)], r)
+                idx2d = np.asarray(pack[2], np.int64)[None, :]
+                taus = np.asarray([pack[3]])
+            packs.append((p, lo, idx2d.shape[1],
+                          np.asarray(xtuv), np.asarray(opv),
+                          np.asarray(spv)))
+            idx_parts.append(idx2d)
+            tau_cols.append(taus)
+            lo += idx2d.shape[1]
+        if napps is None:
+            raise ValueError("path link needs at least one Path region")
+        idx_parts = [np.broadcast_to(a, (napps, a.shape[1]))
+                     for a in idx_parts]
+        tau_cols = [np.broadcast_to(t, (napps,)) for t in tau_cols]
+        lpn = len(lp)
+        if lpn:
+            lp_idx = np.broadcast_to(
+                self._lp_offset + np.asarray(lp, np.int64)[None, :],
+                (napps, lpn))
+            idx_parts.append(lp_idx)
+        Vidx = np.concatenate(idx_parts, axis=1)
+        consts = np.stack(tau_cols, axis=1)              # (napps, nregions)
+
+        def fun(g, c):
+            parts = []
+            for i, (p, lo_, ln, xtuv, opv, spv) in enumerate(packs):
+                ps, _ = self._boundary_input(p, g, lo_, c[i])
+                full = jnp.concatenate(ps)
+                per = p.XV + 1 + p.UV
+                if xtuv.shape[0]:
+                    parts.append(full[xtuv])
+                if opv.shape[0]:
+                    parts.append(full[per + opv])
+                if spv.shape[0]:
+                    parts.append(full[per + p.PV + spv])
+            if lpn:
+                parts.append(g[Vidx.shape[1] - lpn:])
+            return trace(jnp.concatenate(parts))
+
+        fam = IndexedFunction(fun, np.asarray(Vidx, np.int32), consts,
+                              name="pathlink",
+                              in_scales=self._Uglob[Vidx])
+        if kind == "objective":
+            nlp.addObjective(fam)
+        elif kind == "iq":
+            nlp.addInequalCon(fam)
+        else:
+            nlp.addEqualCon(fam)
+
     def _transcribe_link(self, nlp, spec, offsets):
         kind = spec[0]
+        self._offsets_map = {id(p): o
+                             for p, o in zip(self.Phases, offsets)}
+        if kind == "general_idx" and any(
+                r in ("Path", "InnerPath") for _, r, *_ in spec[2]):
+            _, func, sel, lp = spec
+            return self._transcribe_path_link(nlp, func, sel, lp, "eq")
+        if kind in ("general", "objective") and any(
+                r in ("Path", "InnerPath") for _, r in spec[2]):
+            _, func, pr = spec
+            sel = [(p, r, np.arange(p.XV + 1 + p.UV),
+                    np.arange(p.PV), np.arange(p.SPV)) for p, r in pr]
+            return self._transcribe_path_link(
+                nlp, func, sel, np.zeros(0, np.int64),
+                "objective" if kind == "objective" else "eq")
+        if kind == "direct" and (spec[3] in ("Path", "InnerPath")
+                                 or spec[6] in ("Path", "InnerPath")):
+            _, func, pa, ra, va, pb, rb, vb = spec
+            if func is None:
+                na = len(va)
+                from ..VectorFunctions.function import Arguments
+                A = Arguments(2 * na)
+                func = A.head(na) - A.segment(na, na)
+            sel = [(pa, ra, np.asarray(va), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64)),
+                   (pb, rb, np.asarray(vb), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))]
+            return self._transcribe_path_link(
+                nlp, func, sel, np.zeros(0, np.int64), "eq")
         if kind == "direct":
             _, func, pa, ra, va, pb, rb, vb = spec
             packa = self._region_pack(pa, offsets[self.Phases.index(pa)], ra)
@@ -449,8 +568,7 @@ class OptimalControlProblem:
                 if not p.MeshConverged:
                     all_ok = False
                     n_new, bounds = update_mesh(p, errs)
-                    traj = p.returnTraj()
-                    p.setTraj(traj, n_new, seg_bounds=bounds)
+                    p.resampleTraj(n_new, seg_bounds=bounds)
             if all_ok:
                 return flag
             self.transcribe()

@@ -1,0 +1,62 @@
+"""PathToPath link constraints: per-node link applications between two
+phases' Path regions, routed through the block KKT border (reference
+LinkFlags::PathToPath, `OptimalControlProblem.cpp:675`)."""
+
+import numpy as np
+
+import asset_asrl_tpu as ast
+
+vf = ast.VectorFunctions
+oc = ast.OptimalControl
+Args = vf.Arguments
+
+
+class _DI(oc.ODEBase):
+    def __init__(self):
+        XtU = oc.ODEArguments(2, 1)
+        super().__init__(vf.stack([XtU.XVar(1), XtU.UVar(0)]), 2, 1)
+
+
+def _phase(x0, xf, nsegs=8):
+    ts = np.linspace(0, 2, 20)
+    IG = [[x0 + (xf - x0) * t / 2, (xf - x0) / 2, t, 0.0] for t in ts]
+    ph = _DI().phase("LGL3", IG, nsegs)
+    ph.addBoundaryValue("Front", [0, 1, 2], [x0, 0, 0])
+    ph.addBoundaryValue("Back", [0, 1, 2], [xf, 0, 2])
+    ph.addIntegralObjective(Args(1)[0] ** 2, [3])
+    return ph
+
+
+def test_pathtopath_direct_link():
+    """Formation flying: phase B must shadow phase A at a fixed offset at
+    EVERY collocation node (a PathToPath direct link)."""
+    pa = _phase(0.0, 1.0)
+    pb = _phase(0.2, 1.2)
+    ocp = oc.OptimalControlProblem()
+    ocp.addPhase(pa)
+    ocp.addPhase(pb)
+    # xB(t_j) - xA(t_j) = 0.2 for every node j
+    A = Args(2)
+    ocp.addDirectLinkEqualCon(A[0] - A[1] + 0.2, pa, "Path", [0],
+                              pb, "Path", [0])
+    ocp.optimizer.set_PrintLevel(2)
+    flag = ocp.optimize()
+    assert flag == 0, flag
+    ta = np.asarray(pa.returnTraj())
+    tb = np.asarray(pb.returnTraj())
+    assert np.allclose(tb[:, 0] - ta[:, 0], 0.2, atol=1e-6)
+
+
+def test_path_link_objective():
+    """Path-region link objective: integral-like sum over node pairs."""
+    pa = _phase(0.0, 1.0)
+    pb = _phase(0.0, 1.0, nsegs=8)
+    ocp = oc.OptimalControlProblem()
+    ocp.addPhase(pa)
+    ocp.addPhase(pb)
+    A = Args(8)   # [xA, vA, tA, uA, xB, vB, tB, uB]
+    ocp.addLinkObjective(((A[0] - A[4]) ** 2) * 0.01,
+                         [(pa, "Path"), (pb, "Path")])
+    ocp.optimizer.set_PrintLevel(2)
+    flag = ocp.optimize()
+    assert flag == 0, flag
