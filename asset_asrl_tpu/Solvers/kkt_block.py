@@ -442,6 +442,10 @@ REFINE_MODE = "auto"
 
 
 def _refine_steps():
+    import os
+    ov = os.environ.get("ASSET_REFINE_STEPS")
+    if ov is not None:
+        return int(ov)
     if REFINE_MODE == "auto":
         return 2 if jax.default_backend() == "tpu" else 0
     return int(REFINE_MODE)
@@ -585,12 +589,13 @@ def _inv_sym(D):
     # TPU iteration where CPU engages the ladder).  Count sub-noise-floor
     # pivots as inertia failures so the perturbation ladder engages —
     # Pardiso's near-zero-pivot perturbation count analog.
+    import os
     if D.dtype == jnp.float32:
-        rel = 1e-5
+        rel = float(os.environ.get("ASSET_PIVOT_REL_F32", 1e-5))
     elif jax.default_backend() == "tpu":
-        rel = 1e-12
+        rel = float(os.environ.get("ASSET_PIVOT_REL", 1e-12))
     else:
-        rel = 0.0
+        rel = float(os.environ.get("ASSET_PIVOT_REL_CPU", 0.0))
     if rel > 0.0:
         scale = jnp.max(jnp.abs(pivs), axis=1, keepdims=True)
         bad = bad | (jnp.abs(pivs) < rel * scale)
