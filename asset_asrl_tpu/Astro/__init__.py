@@ -21,3 +21,6 @@ from .J2 import J2Cartesian, J2Modified
 from . import Date
 from . import DataReadWrite
 from .DataReadWrite import ReadData, WriteData
+from . import AstroConstraints
+from . import FramePlot
+from .FramePlot import PlotBase, CRPlot, TBPlot
