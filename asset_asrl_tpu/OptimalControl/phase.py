@@ -697,12 +697,16 @@ class Phase:
         return out
 
     def addLowerVarBound(self, region, var, lb, scale=1.0):
+        if isinstance(var, str):
+            var = int(self._resolve_idx(var)[0])
         var = int(var); lb = float(lb); s = float(scale)
         def fun(inp):
             return ((lb - inp[var]) * s)[None]
         return self._add("iq", region, fun, 1, "lowerbound")
 
     def addUpperVarBound(self, region, var, ub, scale=1.0):
+        if isinstance(var, str):
+            var = int(self._resolve_idx(var)[0])
         var = int(var); ub = float(ub); s = float(scale)
         def fun(inp):
             return ((inp[var] - ub) * s)[None]
