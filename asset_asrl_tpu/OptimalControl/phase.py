@@ -725,7 +725,7 @@ class Phase:
 
     def addLowerFuncBound(self, region, func, indices, lb, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), dtype=np.int64).ravel()
         lb = float(lb); s = float(scale)
         def fun(inp):
             return (lb - trace(inp[idx])[0])[None] * s
@@ -733,7 +733,7 @@ class Phase:
 
     def addUpperFuncBound(self, region, func, indices, ub, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), dtype=np.int64).ravel()
         ub = float(ub); s = float(scale)
         def fun(inp):
             return (trace(inp[idx])[0] - ub)[None] * s
@@ -813,6 +813,8 @@ class Phase:
         return self._add("obj", region, tf_, 1, "stateobj")
 
     def addDeltaVarObjective(self, var, scale=1.0):
+        if isinstance(var, str):
+            var = int(self._resolve_idx(var)[0])
         var = int(var); s = float(scale)
         per = self.XV + 1 + self.UV
         def fun(inp):
