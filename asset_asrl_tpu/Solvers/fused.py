@@ -143,7 +143,14 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
         while_loop so the factorization graph (the largest subgraph in the
         whole solve — Pallas inverse kernels per BCR level) is instantiated
         exactly once."""
-        d0 = jnp.where(zfac, 0.0, Hpert0)
+        # On TPU the zero-perturbation probe is floored at deltaH: dd-f64
+        # unpivoted elimination of a genuinely indefinite delta=0 matrix
+        # breaks down SILENTLY (measured at a wandering iterate: true
+        # inertia excess +3751 counted as +0, factorization residual ~6,
+        # while at delta>=1e-5 both inertia and solves are exact) — a
+        # delta=0 "success" cannot be trusted there.
+        probe_d = deltaH if jax.default_backend() == "tpu" else 0.0
+        d0 = jnp.where(zfac, probe_d, Hpert0)
         incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
         dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
 

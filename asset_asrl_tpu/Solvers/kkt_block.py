@@ -447,7 +447,10 @@ def _refine_steps():
     if ov is not None:
         return int(ov)
     if REFINE_MODE == "auto":
-        return 2 if jax.default_backend() == "tpu" else 0
+        # one Richardson step contracts the dd-f64 solve error by the
+        # measured ~1e-5 ratio — a second step changed nothing in a full
+        # 2500-segment solve trajectory (bit-identical iterates)
+        return 1 if jax.default_backend() == "tpu" else 0
     return int(REFINE_MODE)
 
 # Use the fused Pallas Gauss-Jordan kernel for f32 block inverses on TPU

@@ -517,8 +517,11 @@ class PSIOPT:
             nhpert = 0.0
             factor = None
             if zfac:
+                # TPU: probe floored at deltaH (see fused.factor_ladder)
+                probe_d = self.deltaH \
+                    if jax.default_backend() == "tpu" else 0.0
                 factor, neigs = self.kkt.factor(
-                    x, lamE, lamI, sigma, sig_tilde, 0.0, self.gammaE)
+                    x, lamE, lamI, sigma, sig_tilde, probe_d, self.gammaE)
                 if neigs <= target_neigs:
                     nhpert = 0.0
                 else:

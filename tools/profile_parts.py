@@ -47,8 +47,9 @@ def timed(name, fn, *args, reps=8):
               f"(compile {tc:.0f}s)", flush=True)
         return out
     except Exception as e:
-        print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
-        raise SystemExit(1)
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+        return None
 
 
 # ---- family AD pieces ----
@@ -81,7 +82,6 @@ def hess_f32(x):
 
 timed("jac_eq_f64", jax.jit(jac_only), x)
 timed("hess_eq_f64", jax.jit(hess_only), x)
-timed("hess_eq_f32", jax.jit(hess_f32), x)
 
 # value-only pass (line-search cost)
 timed("eval_oc", jax.jit(nlp.eval_obj_cons_impl), x, consts)
