@@ -466,22 +466,45 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
         return finalize(out)
 
     if parts:
+        def chunk(carry, consts, nsteps):
+            """Up to `nsteps` iterations in ONE dispatch: the while_loop
+            additionally bounded by a chunk-local trip count.  Amortizes
+            the per-dispatch tunnel overhead (~30 ms measured) that a
+            1-iteration-per-dispatch host loop pays, while keeping the
+            program far below the whole-solve size that faults the
+            toolchain at K>~3000."""
+            it0 = carry[0]
+
+            def ccond(c):
+                return cond(c) & (c[0] < it0 + nsteps)
+
+            return jax.lax.while_loop(ccond,
+                                      lambda c: iteration(c, consts),
+                                      carry)
+
         return dict(init=jax.jit(make_init), step=jax.jit(iteration),
+                    chunk=jax.jit(chunk, static_argnums=2),
                     finalize=finalize, flags=(_NOTCONV,),
                     max_iters=MaxIters)
     return jax.jit(run)
 
 
-def run_stepwise(parts, x, s, lamE, lamI, Mu0, consts):
+def run_stepwise(parts, x, s, lamE, lamI, Mu0, consts, chunk=8):
     """Host-loop driver over build_fused_alg(..., parts=True): identical
     algorithm and results to the whole-solve jit, one device dispatch per
-    IPM iteration (plus a scalar flag sync).  Used above the program-size
-    scale where the monolithic while_loop faults the TPU stack."""
+    `chunk` IPM iterations (plus a scalar flag sync).  Used above the
+    program-size scale where the monolithic while_loop faults the TPU
+    stack; chunking amortizes the per-dispatch tunnel overhead."""
     carry = parts["init"](x, s, lamE, lamI, Mu0, consts)
     max_iters = parts["max_iters"]
-    step = parts["step"]
-    while int(carry[10]) == _NOTCONV and int(carry[0]) < max_iters:
-        carry = step(carry, consts)
+    if chunk > 1 and "chunk" in parts:
+        step = parts["chunk"]
+        while int(carry[10]) == _NOTCONV and int(carry[0]) < max_iters:
+            carry = step(carry, consts, int(chunk))
+    else:
+        step = parts["step"]
+        while int(carry[10]) == _NOTCONV and int(carry[0]) < max_iters:
+            carry = step(carry, consts)
     return parts["finalize"](carry)
 
 

@@ -459,7 +459,8 @@ USE_PALLAS = True
 
 
 def _factor_dtype():
-    mode = FACTOR_DTYPE
+    import os
+    mode = os.environ.get("ASSET_FACTOR_DTYPE", FACTOR_DTYPE)
     if mode == "auto":
         mode = "f64"
     return jnp.float32 if mode == "f32" else DEFAULT_DTYPE
