@@ -534,6 +534,15 @@ class Integrator:
 
     def integrate_dense(self, x0, tf, nsteps=None, events=None,
                         max_hits=4):
+        """Dense-output integration (+ optional event detection).
+
+        Performance notes: with VectorFunction events the trajectory is
+        propagated TWICE (one jittable event sweep + one dense-grid
+        pass); with non-VectorFunction (python-callable) events the
+        bisection runs host-side per step — a compatibility path that is
+        orders of magnitude slower than the jitted sweep.  Prefer
+        VectorFunction events, or `integrate_dense_parallel` for
+        batches."""
         # reference overloads: integrate_dense(x0, tf, [events...]) — a
         # list/tuple of events (or a bare callable) in the nsteps slot
         if events is None and nsteps is not None and not isinstance(

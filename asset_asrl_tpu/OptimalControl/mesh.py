@@ -88,9 +88,15 @@ def _integrator_errors(phase):
     from ..Integrators import Integrator
     XV = phase.XV
     T = phase.tf - phase.t0
-    tab = phase.returnTrajTable()
-    integ = Integrator(phase.ode, 0.05 * T / max(phase.numSegs, 1),
-                       tab, list(range(XV + 1 + phase.UV)))
+    if phase.UV:
+        tab = phase.returnTrajTable()
+        # control columns of the XtU layout: the integrator closes the
+        # loop on the table's interpolated CONTROLS only
+        uvars = list(range(XV + 1, XV + 1 + phase.UV))
+        integ = Integrator(phase.ode, 0.05 * T / max(phase.numSegs, 1),
+                           tab, uvars)
+    else:
+        integ = Integrator(phase.ode, 0.05 * T / max(phase.numSegs, 1))
     errs = np.zeros(phase.numSegs)
     for k in range(phase.numSegs):
         nodes = phase.seg_nodes[k]

@@ -9,7 +9,10 @@ shard's representative, and the global border form an *extended border* of
 that local factorization), and exchanges only the (b + 2W)-sized border
 Schur complements via `all_gather` over ICI.  The reduced system — a
 block-tridiagonal chain over the D representatives plus the global border
-— is factorized redundantly on every device.
+— is factorized redundantly on every device (O(D) serial work per
+device: fine at single-host D<=8; at pod scale use the 2-axis
+hierarchical mesh, `sharded_factor_hier`, whose cross-host reduced
+chain is O(#hosts)).
 
 This is the TPU-native replacement for the reference's shared-memory
 Pardiso factorization (`src/Solvers/PardisoInterface.h`) at pod scale:

@@ -29,6 +29,7 @@ def test_multiphase_zermelo():
     assert traj[-1][2] > 0
 
 
+@pytest.mark.slow
 def test_parallel_parking():
     """Li/Wang/Chu 2016 case 7: maneuver time 18.426 s; ours within 1%."""
     from ParallelParking import Main
@@ -36,6 +37,7 @@ def test_parallel_parking():
     assert abs(t - 18.426) < 0.4, t
 
 
+@pytest.mark.slow
 def test_optimal_docking_form2():
     from OptimalDocking import Form2
     flag, tf, Traj = Form2(nsegs=96, print_level=2)

@@ -44,7 +44,8 @@ def test_sharded_solve_matches_dense(K, W, b):
 
 
 @pytest.mark.parametrize("K,W,b", [
-    (24, 3, 2), pytest.param(65, 4, 3, marks=pytest.mark.slow)])
+    pytest.param(24, 3, 2, marks=pytest.mark.slow),
+    pytest.param(65, 4, 3, marks=pytest.mark.slow)])
 def test_sharded_inertia_matches_dense(K, W, b):
     mesh = _mesh()
     for seed in range(3):
@@ -58,6 +59,7 @@ def test_sharded_inertia_matches_dense(K, W, b):
         assert int(neigs) == int(np.sum(w < 0)), seed
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_chip():
     """1-device BCR and 8-device substructuring agree to fp tolerance —
     the sharding determinism test (reference NLPTest thread-count
@@ -82,8 +84,9 @@ def test_sharded_matches_single_chip():
     assert np.allclose(np.asarray(z8), np.asarray(z1), atol=1e-9)
 
 
-@pytest.mark.parametrize("K,W,b,hc", [(40, 4, 2, (2, 4)),
-                                      (25, 3, 0, (4, 2))])
+@pytest.mark.parametrize("K,W,b,hc", [
+    pytest.param(40, 4, 2, (2, 4), marks=pytest.mark.slow),
+    pytest.param(25, 3, 0, (4, 2), marks=pytest.mark.slow)])
 def test_hier_sharded_matches_dense(K, W, b, hc):
     """Two-level (host x chip) hierarchical substructuring: per-chip
     elimination, per-host ICI reduction, DCN host-boundary exchange —
