@@ -538,14 +538,16 @@ def _inv_gj_pivots(D):
 
 
 def _newton_refine(D, X32, steps=4):
-    """Refine an approximate f32 inverse to f64: X <- X(2I - DX)."""
+    """Refine an approximate f32 inverse to f64: X <- X(2I - DX).
+    Elementwise batched products (_bmm) — TPU lowers batched dot_general
+    at these block shapes 50-200x slower than broadcast-multiply-reduce."""
     W = D.shape[-1]
     X = jnp.asarray(X32, DEFAULT_DTYPE)
     X = jnp.where(jnp.isfinite(X), X, 0.0)
     eye = jnp.eye(W, dtype=DEFAULT_DTYPE)
     for _ in range(steps):
-        R = eye - D @ X
-        X = X + X @ R
+        R = eye[None] - _bmm(D, X)
+        X = X + _bmm(X, R)
     return X
 
 
@@ -570,16 +572,40 @@ def _inv_sym(D):
         else:
             Dinv, pivs = _inv_gj_pivots(D)
     else:
-        # exact f64 on every backend: one unpivoted GJ sweep yields the
-        # inverse AND the pivot sequence (= LDL^T pivots, whose signs give
-        # the inertia).  W-step fori_loop of (K,W) rank-1 updates — pure
-        # VPU elementwise work, bandwidth-bound, no LAPACK custom calls
-        # (TPU has no f64 LU) and no batched dot_general (mislowered at
-        # these shapes).
-        mode = INV_MODE
+        # f64 inverse, three strategies:
+        #   "gj"/"auto"(cpu): one dd/native-f64 unpivoted GJ sweep gives
+        #     the inverse AND the pivot sequence.
+        #   "mixed32"/"auto"(tpu): f32 GJ inverse + pivots (TPU-native
+        #     dtype, ~30x faster than the dd-f64 sweep) refined to f64 by
+        #     Newton steps X <- X(2I - DX); only the PIVOT SIGNS are f32
+        #     (reliable on the Ruiz-scaled blocks away from the noise
+        #     floor — sub-floor pivots engage the ladder via the rel
+        #     threshold), every downstream Schur product stays f64.
+        #   "mixed": legacy f32 LU + dd-f64 LDL pivots.
+        import os
+        mode = os.environ.get("ASSET_INV_MODE", INV_MODE)
+        if mode == "auto":
+            mode = "mixed32" if jax.default_backend() == "tpu" else "gj"
         if mode == "mixed":
             pivs = _ldl_pivots(D)
             Dinv = _inv_newton(D)
+        elif mode == "mixed32":
+            D32 = D.astype(jnp.float32)
+            if USE_PALLAS and jax.default_backend() == "tpu" \
+                    and D.shape[0] * D.shape[1] >= 64 and D.shape[1] >= 8:
+                from .pallas_kernels import batched_gj_inverse
+                X32, pivs32 = batched_gj_inverse(D32)
+            else:
+                X32, pivs32 = _inv_gj_pivots(D32)
+            Dinv = _newton_refine(D, X32, steps=2)
+            pivs = pivs32.astype(D.dtype)
+            # f32 sign noise floor: widen the uncertainty threshold
+            scale32 = jnp.max(jnp.abs(pivs), axis=1, keepdims=True)
+            extra_bad = jnp.abs(pivs) < 1e-5 * scale32
+            neg32 = jnp.sum((pivs < 0) | extra_bad
+                            | ~jnp.isfinite(pivs))
+            Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)
+            return Dinv, neg32
         else:
             Dinv, pivs = _inv_gj_pivots(D)
     tiny = 1e-25 if Dinv.dtype == jnp.float32 else 1e-250
