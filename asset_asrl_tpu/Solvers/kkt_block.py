@@ -590,13 +590,11 @@ def _inv_sym(D):
             pivs = _ldl_pivots(D)
             Dinv = _inv_newton(D)
         elif mode == "mixed32":
+            # XLA f32 GJ (not the Pallas kernel: Mosaic corrupts the
+            # pivot sequence at these lane widths — a corrupt count makes
+            # the ladder reject every delta and the solve diverge)
             D32 = D.astype(jnp.float32)
-            if USE_PALLAS and jax.default_backend() == "tpu" \
-                    and D.shape[0] * D.shape[1] >= 64 and D.shape[1] >= 8:
-                from .pallas_kernels import batched_gj_inverse
-                X32, pivs32 = batched_gj_inverse(D32)
-            else:
-                X32, pivs32 = _inv_gj_pivots(D32)
+            X32, pivs32 = _inv_gj_pivots(D32)
             Dinv = _newton_refine(D, X32, steps=2)
             pivs = pivs32.astype(D.dtype)
             # f32 sign noise floor: widen the uncertainty threshold
