@@ -590,16 +590,24 @@ def _inv_sym(D):
             pivs = _ldl_pivots(D)
             Dinv = _inv_newton(D)
         elif mode == "mixed32":
-            # XLA f32 GJ (not the Pallas kernel: Mosaic corrupts the
-            # pivot sequence at these lane widths — a corrupt count makes
-            # the ladder reject every delta and the solve diverge)
+            # f32 GJ inverse + pivots (validated sign-exact vs f64 on the
+            # Ruiz-scaled blocks, incl. the delta-floor pivots), refined
+            # to f64 by Newton steps.  The rel-to-blockmax threshold is a
+            # BREAKDOWN detector only (pivot dynamic range spans 1e-5 ..
+            # 1e5 post-Ruiz, so any sign-noise-sized relative threshold
+            # over-flags and the ladder rejects everything).
             D32 = D.astype(jnp.float32)
-            X32, pivs32 = _inv_gj_pivots(D32)
+            if USE_PALLAS and jax.default_backend() == "tpu" \
+                    and D.shape[0] * D.shape[1] >= 64 and D.shape[1] >= 8:
+                from .pallas_kernels import batched_gj_inverse
+                X32, pivs32 = batched_gj_inverse(D32)
+            else:
+                X32, pivs32 = _inv_gj_pivots(D32)
             Dinv = _newton_refine(D, X32, steps=2)
             pivs = pivs32.astype(D.dtype)
-            # f32 sign noise floor: widen the uncertainty threshold
+            relb = float(os.environ.get("ASSET_PIVOT_REL", 1e-12))
             scale32 = jnp.max(jnp.abs(pivs), axis=1, keepdims=True)
-            extra_bad = jnp.abs(pivs) < 1e-5 * scale32
+            extra_bad = jnp.abs(pivs) < relb * scale32
             neg32 = jnp.sum((pivs < 0) | extra_bad
                             | ~jnp.isfinite(pivs))
             Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)

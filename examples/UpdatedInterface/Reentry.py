@@ -88,8 +88,8 @@ def run(print_level=1, heat_constrained=True):
         TrajIG.append(X)
 
     phase = ode.phase("LGL3", TrajIG, 40)
-    del units   # autoscaling destabilizes this problem's solve_optimize;
-    # run it unscaled like the baseline example (known gap)
+    del units  # autoscaling destabilizes this problem (diverges on the
+    # probed row scales); run unscaled like the baseline example
     phase.addBoundaryValue("Front", ["h", "theta", "v", "gamma", "psi",
                                      "t"], np.asarray(TrajIG[0])[0:6])
     phase.addLUVarBounds("Path", ["theta", "gamma"],

@@ -52,7 +52,11 @@ def run_case(name, script, desc, ref):
                PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH",
                                                              ""))
     t0 = time.perf_counter()
-    proc = subprocess.run([sys.executable, os.path.join(ROOT, script)],
+    # _cpu_run pins the CPU backend in-process (the axon plugin ignores
+    # the JAX_PLATFORMS environment variable)
+    proc = subprocess.run([sys.executable,
+                           os.path.join(ROOT, "tools", "_cpu_run.py"),
+                           os.path.join(ROOT, script)],
                           capture_output=True, text=True, env=env,
                           timeout=3000, cwd=ROOT)
     dt = time.perf_counter() - t0
