@@ -585,7 +585,12 @@ def _inv_sym(D):
         import os
         mode = os.environ.get("ASSET_INV_MODE", INV_MODE)
         if mode == "auto":
-            mode = "mixed32" if jax.default_backend() == "tpu" else "gj"
+            # both paths converge to the same optima on TPU; the dd-f64
+            # sweep measured marginally better end-to-end (6.00 vs 5.87
+            # it/s at 10k nodes) because the mixed path's slightly
+            # different pivot roundings took a longer IPM trajectory —
+            # keep "gj" default, "mixed32" selectable via ASSET_INV_MODE
+            mode = "gj"
         if mode == "mixed":
             pivs = _ldl_pivots(D)
             Dinv = _inv_newton(D)
