@@ -51,9 +51,11 @@ def test_dionysus():
     exceed 1500 kg of the 4000 kg stack at converged meshes (the global
     optimum is ~2718 kg; coarse meshes find lower-mass local optima)."""
     from DionysusLowThrust import run
-    flag, fm, _ = run(nsegs=96, print_level=2)
+    flag, fm, _ = run(nsegs=150, print_level=2)
     assert flag == CONVERGED
-    assert fm > 1500, fm
+    # global optimum ~2718 kg (Junkins & Taheri); measured 2715.93 at
+    # 150 LGL segments
+    assert fm > 2700, fm
 
 
 @pytest.mark.slow
