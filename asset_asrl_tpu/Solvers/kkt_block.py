@@ -1145,6 +1145,108 @@ def _apply_patch_plan(plan, vals2d, diag, lower):
     return diag, lower
 
 
+def _try_patch_plan_B(src, tgt, anchors, E, napps, W, b, K):
+    """Patch plan for the border matrix B (K, W, b): the defect family's
+    t0/tf Jacobian columns hit B in the same per-app pattern every
+    segment, so the (app, entry) -> (rel, row, col) map is one one-hot
+    matmul per layer instead of a (K*W*b*width) TPU gather.  Returns
+    (plan | None, leftover (src, tgt))."""
+    if len(src) == 0 or napps < 8 or b == 0:
+        return None, (src, tgt)
+    src = np.asarray(src, np.int64)
+    tgt = np.asarray(tgt, np.int64)
+    app = src // E
+    e = src % E
+    mac = tgt // (W * b)
+    i = (tgt // b) % W
+    j = tgt % b
+    rel = mac - anchors[app]
+    ok = (rel >= 0) & (rel <= 1)
+    slot = (rel * W + i) * b + j
+
+    order = np.lexsort((e, slot, app))
+    app_s, e_s, slot_s, ok_s = app[order], e[order], slot[order], ok[order]
+    counts = np.bincount(app_s, minlength=napps)
+    mid = napps // 2
+    cnt = counts[mid]
+    if cnt == 0:
+        return None, (src, tgt)
+    starts = np.zeros(napps + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    canon_e = e_s[starts[mid]:starts[mid + 1]]
+    canon_slot = slot_s[starts[mid]:starts[mid + 1]]
+    cand = np.where(counts == cnt)[0]
+    if len(cand) < napps // 2:
+        return None, (src, tgt)
+    idx = starts[cand][:, None] + np.arange(cnt)[None, :]
+    good = (e_s[idx] == canon_e[None, :]).all(1) & \
+        (slot_s[idx] == canon_slot[None, :]).all(1) & ok_s[idx].all(1)
+    match_apps = cand[good]
+    if len(match_apps) < napps // 2:
+        return None, (src, tgt)
+    runs = np.split(match_apps, np.where(np.diff(match_apps) != 1)[0] + 1)
+    run = max(runs, key=len)
+    a0, a1 = int(run[0]), int(run[-1]) + 1
+    anc = anchors[a0:a1]
+    u, c = np.unique(anc, return_counts=True)
+    if not np.all(np.diff(u) == 1):
+        return None, (src, tgt)
+    P = int(np.median(c))
+    okg = c == P
+    runs_g = np.split(np.arange(len(u)), np.where(np.diff(okg))[0] + 1)
+    best = max((r for r in runs_g if okg[r[0]]), key=len, default=None)
+    if best is None or len(best) < 4:
+        return None, (src, tgt)
+    gfirst = np.searchsorted(anc, u[int(best[0])])
+    a1 = a0 + int(gfirst) + (int(best[-1]) + 1 - int(best[0])) * P
+    a0 = a0 + int(gfirst)
+    if (a1 - a0) < 4:
+        return None, (src, tgt)
+
+    layers = []
+    remaining = list(range(cnt))
+    while remaining:
+        used = set()
+        this, rest = [], []
+        for t in remaining:
+            s_ = int(canon_slot[t])
+            (rest if s_ in used else this).append(t)
+            used.add(s_)
+        S = np.zeros((E, 2 * W * b), np.float32)
+        for t in this:
+            S[int(canon_e[t]), int(canon_slot[t])] += 1.0
+        layers.append(S)
+        remaining = rest
+
+    plan = dict(a0=a0, a1=a1, P=P, m0=int(anchors[a0]), E=E, W=W, b=b,
+                layers=layers)
+    inrun = (app >= a0) & (app < a1)
+    return plan, (src[~inrun], tgt[~inrun])
+
+
+def _apply_patch_plan_B(plan, vals2d, Bmat):
+    """Add a border patch plan's contribution to (K, W, b) via exact
+    split-f32 one-hot matmuls (see _apply_patch_plan)."""
+    W, b = plan["W"], plan["b"]
+    a0, a1, P, m0 = plan["a0"], plan["a1"], plan["P"], plan["m0"]
+    K = Bmat.shape[0]
+    v = vals2d[a0:a1]
+    hi = v.astype(jnp.float32)
+    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+    acc = jnp.zeros((a1 - a0, 2 * W * b), v.dtype)
+    for S in plan["layers"]:
+        acc = acc + jnp.dot(hi, S, precision="highest").astype(v.dtype) \
+            + jnp.dot(lo, S, precision="highest").astype(v.dtype)
+    G = (a1 - a0) // P
+    A = acc.reshape(G, P, 2, W, b).sum(1)
+    g0 = min(G, K - m0)
+    Bmat = Bmat.at[m0:m0 + g0].add(A[:g0, 0])
+    g1 = min(G, K - (m0 + 1))
+    if g1 > 0:
+        Bmat = Bmat.at[m0 + 1:m0 + 1 + g1].add(A[:g1, 1])
+    return Bmat
+
+
 def _build_table(pairs, size, zero_slot, max_width=16):
     """Invert (src, tgt) scatter pairs into a gather table.
 
@@ -1375,6 +1477,7 @@ class BlockKKT:
         off = 0
         dpairs, lpairs, bpairs, cpairs = [], [], [], []
         self._patch_plans = []
+        self._patch_plans_B = []
         self._vpart_count = 0
 
         def add_targets(t, off):
@@ -1395,9 +1498,17 @@ class BlockKKT:
             # TPU gather is the assembly bottleneck otherwise)
             vpart_idx = self._vpart_count
 
-            def add_group(t, off_, anchors, E, napps):
+            def add_group(t, off_, anchors, E, napps, vpi):
                 # src indices in t are local to the contribution group
                 plan, left = _try_patch_plan(t, anchors, 0, E, napps, W, K)
+                if b > 0 and "B" in left and len(left["B"][0]):
+                    bplan, bleft = _try_patch_plan_B(
+                        left["B"][0], left["B"][1], anchors, E, napps,
+                        W, b, K)
+                    if bplan is not None:
+                        left = dict(left)
+                        left["B"] = bleft
+                        self._patch_plans_B.append((vpi, bplan))
                 add_targets(left, off_)
                 return plan
 
@@ -1406,7 +1517,7 @@ class BlockKKT:
             fam["jac_off"] = off
             plan = add_group(bs.jac_targets(Vidx_np, rows_np, fam["jnz"]),
                              off, anchors, fam["nout"] * fam["nin"],
-                             fam["napps"])
+                             fam["napps"], vpart_idx)
             if plan is not None:
                 self._patch_plans.append((vpart_idx, plan))
             vpart_idx += 1
@@ -1415,7 +1526,7 @@ class BlockKKT:
                 fam["hess_off"] = off
                 plan = add_group(bs.hess_targets(Vidx_np, fam["hnz"]),
                                  off, anchors, fam["nin"] * fam["nin"],
-                                 fam["napps"])
+                                 fam["napps"], vpart_idx)
                 if plan is not None:
                     self._patch_plans.append((vpart_idx, plan))
                 vpart_idx += 1
@@ -1641,11 +1752,15 @@ class BlockKKT:
                 B = B.at[t].add(vbuf[s])
         diag = diag.reshape(K, W, W)
         lower = lower.reshape(K, W, W)
+        B = B.reshape(K, W, b)
         # structured contributions: exact one-hot matmul patches
         for vi, plan in self._patch_plans:
             vals2d = vparts[vi].reshape(-1, plan["E"])
             diag, lower = _apply_patch_plan(plan, vals2d, diag, lower)
-        return (diag, lower, B.reshape(K, W, b), C.reshape(b, b))
+        for vi, plan in self._patch_plans_B:
+            vals2d = vparts[vi].reshape(-1, plan["E"])
+            B = _apply_patch_plan_B(plan, vals2d, B)
+        return (diag, lower, B, C.reshape(b, b))
 
     # -------------------------------------------------------------- factor
     def _factor_blocks_impl(self, blocks, delta, gammaE):
