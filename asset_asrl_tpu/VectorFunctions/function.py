@@ -100,6 +100,12 @@ def as_function(v, irows=None):
 class VectorFunction:
     """A differentiable map R^IRows -> R^ORows built from a jnp closure."""
 
+    # numpy must DEFER to our reflected operators: without these,
+    # `np_array - expr` broadcasts element-wise over the expression and
+    # yields an object ndarray instead of calling __rsub__.
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
     def __init__(self, fn, irows, orows, name="VectorFunction"):
         self._fn = _memoized(self, fn)
         self._ir = int(irows)
