@@ -716,7 +716,7 @@ class Phase:
         trace, ir, orr = _tracefun(func)
         if orr != 1:
             raise ValueError("func bound requires scalar function")
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), np.int64).ravel()
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             v = trace(inp[idx])[0]

@@ -63,3 +63,13 @@ def test_heteroclinic():
     from Heteroclinic import main
     Traj1, Traj2, DV = main(nman=24, nsegs=40)
     assert DV < 10.0, DV
+
+
+@pytest.mark.slow
+def test_betts_low_thrust():
+    """Betts example 6 (LEO->MEO zonal-harmonics low thrust): final
+    weight ~0.220172 lb (Betts' published optimum)."""
+    from BettsLowThrust import run
+    flag, fw, _ = run(print_level=2)
+    assert flag == CONVERGED
+    assert abs(fw - 0.220179) < 2e-4, fw
