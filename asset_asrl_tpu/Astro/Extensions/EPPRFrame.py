@@ -104,10 +104,11 @@ class EPPRFrame(CR3BPFrame, BodyRegistry):
                                     for c in cols] + [[ts[i]]])
                     for i in range(len(ts))]
 
+        import jax
         self.BCData = rows(smp["BC"])
-        self.RelData = rows(np.asarray(
-            [eph2.state(t) for t in ts]) - np.asarray(
-            [eph1.state(t) for t in ts]))
+        rel = np.asarray(jax.vmap(eph2.state)(ts)
+                         ) - np.asarray(jax.vmap(eph1.state)(ts))
+        self.RelData = rows(rel)
         self.RData = rows(smp["R"], smp["Rdot"], smp["Rddot"])
         self.RotData = rows(smp["rot"])
 

@@ -69,8 +69,12 @@ class PlotBase:
 
     @staticmethod
     def _palette(name, n):
-        import matplotlib.cm as cm
-        cmap = cm.get_cmap(name)
+        import matplotlib
+        try:
+            cmap = matplotlib.colormaps[name]
+        except (AttributeError, KeyError):     # matplotlib < 3.6
+            import matplotlib.cm as cm
+            cmap = cm.get_cmap(name)
         return [cmap(i / max(n - 1, 1)) for i in range(n)]
 
     # ------------------------------------------------------------ renderers

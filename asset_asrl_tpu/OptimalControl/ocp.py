@@ -342,13 +342,15 @@ class OptimalControlProblem:
                     raise ValueError(
                         "PathToPath link requires equal node counts "
                         f"({idx2d.shape[0]} vs {napps})")
+                kind = "node"
             else:
                 pack = self._region_pack(p, self._offsets_map[id(p)], r)
                 idx2d = np.asarray(pack[2], np.int64)[None, :]
                 taus = np.asarray([pack[3]])
+                kind = pack[0]          # "node" (Front/Back) or "raw"
             packs.append((p, lo, idx2d.shape[1],
                           np.asarray(xtuv), np.asarray(opv),
-                          np.asarray(spv)))
+                          np.asarray(spv), kind, r))
             idx_parts.append(idx2d)
             tau_cols.append(taus)
             lo += idx2d.shape[1]
@@ -368,7 +370,17 @@ class OptimalControlProblem:
 
         def fun(g, c):
             parts = []
-            for i, (p, lo_, ln, xtuv, opv, spv) in enumerate(packs):
+            for i, (p, lo_, ln, xtuv, opv, spv, kind, r) in \
+                    enumerate(packs):
+                if kind == "raw":
+                    # ODEParams/StaticParams region: the gather IS the
+                    # param vector — select with the matching index set
+                    # (routing it through the node-layout decoder would
+                    # silently misread, see _boundary_input)
+                    seg = g[lo_:lo_ + ln]
+                    sel_idx = opv if r == "ODEParams" else spv
+                    parts.append(seg[sel_idx] if sel_idx.shape[0] else seg)
+                    continue
                 ps, _ = self._boundary_input(p, g, lo_, c[i])
                 full = jnp.concatenate(ps)
                 per = p.XV + 1 + p.UV

@@ -1201,7 +1201,10 @@ class Phase:
         if not hasattr(self, "_probe_store"):
             self._probe_store = {}
         for i, (fam, sp) in enumerate(self._built):
-            key = ("spec", id(sp)) if sp is not None else \
+            # key on the SPEC OBJECT itself (held alive by the store) —
+            # an id() key could serve a stale mask after CPython reuses a
+            # freed spec's id for a different constraint
+            key = ("spec", sp) if sp is not None else \
                 ("builtin", i, self.TranscriptionMode, self.ControlMode)
             try:
                 fam.fun._probe_cache = (self._probe_store, key)

@@ -612,7 +612,10 @@ def _inv_sym(D):
             pivs = pivs32.astype(D.dtype)
             relb = float(os.environ.get("ASSET_PIVOT_REL", 1e-12))
             scale32 = jnp.max(jnp.abs(pivs), axis=1, keepdims=True)
-            extra_bad = jnp.abs(pivs) < relb * scale32
+            # absolute floor too: an all-zero pivot block has scale32=0
+            # and would otherwise pass the inertia test on breakdown
+            extra_bad = (jnp.abs(pivs) < relb * scale32) \
+                | (jnp.abs(pivs) < 1e-30)
             neg32 = jnp.sum((pivs < 0) | extra_bad
                             | ~jnp.isfinite(pivs))
             Dinv = jnp.where(jnp.isfinite(Dinv), Dinv, 0.0)

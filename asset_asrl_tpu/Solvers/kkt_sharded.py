@@ -397,11 +397,19 @@ class ShardedBlockKKT:
         import jax
         self._base = base
         self.mesh = mesh
-        self.hier = len(mesh.axis_names) >= 2
+        names = list(mesh.axis_names)
+        sizes = [mesh.shape[n] for n in names]
+        # hierarchical substructuring needs >=2 on BOTH axes (the
+        # intra-level eliminations build (size-2)-length chains); a
+        # (H, 1)- or (1, C)-shaped mesh degrades to flat sharding over
+        # its non-unit axis
+        self.hier = len(names) >= 2 and sizes[0] >= 2 and sizes[1] >= 2
         if self.hier:
-            self.axes = tuple(mesh.axis_names[:2])
-            self.D = mesh.shape[self.axes[0]] * mesh.shape[self.axes[1]]
+            self.axes = tuple(names[:2])
+            self.D = sizes[0] * sizes[1]
         else:
+            if len(names) >= 2:
+                axis = names[int(np.argmax(sizes[:2]))]
             self.axis = axis
             self.D = mesh.shape[axis]
         self.nlp = base.nlp

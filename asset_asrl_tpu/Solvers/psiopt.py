@@ -391,7 +391,8 @@ class PSIOPT:
         self.LastIterNum += niters
         if self.storespmat:
             self._store_spmat(x, s, lamE, lamI, Mu,
-                              0.0 if mode == "SOE" else self.ObjScale)
+                              0.0 if mode in ("SOE", "OPTNO")
+                              else self.ObjScale)
         if callable(self.LateCallBack):
             self.LateCallBack(dict(mode=mode, flag=flag, iters=niters,
                                    infos=infos, x=np.asarray(x),
@@ -466,9 +467,13 @@ class PSIOPT:
     def _alg_impl(self, mode, x, s, lamE, lamI):
         nlp = self.nlp
         n, mE, mI = nlp.numPrimal, nlp.numEq, nlp.numIq
-        sigma = 0.0 if mode == "SOE" else self.ObjScale
-        barmode = self.SoeBarMode if mode == "SOE" else self.OptBarMode
-        lsmode = self.SoeLSMode if mode == "SOE" else self.OptLSMode
+        # OPTNO (a solve-pass mode, reference SoeMode): objective off,
+        # Soe bar/LS knobs, constraint Hessians kept (sigma=0 drops the
+        # objective gradient/Hessian in the KKT eval)
+        soe_like = mode in ("SOE", "OPTNO")
+        sigma = 0.0 if soe_like else self.ObjScale
+        barmode = self.SoeBarMode if soe_like else self.OptBarMode
+        lsmode = self.SoeLSMode if soe_like else self.OptLSMode
 
         Mu = self.initMu
         Hpert0 = self.deltaH

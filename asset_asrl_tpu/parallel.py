@@ -141,7 +141,7 @@ def make_batched_step(phase, mesh=None, axis="scenario"):
 
 
 def solve_ensemble(phase, perturb_states=None, mesh=None, mode="OPT",
-                   x0s=None, iters=None):
+                   x0s=None):
     """Full-fidelity vmapped ensemble solve: B scenarios sharing the
     phase's structure, each run through the COMPLETE fused PSIOPT
     algorithm (probe/perturbation ladder, barrier update, merit line

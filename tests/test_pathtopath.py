@@ -60,3 +60,28 @@ def test_path_link_objective():
     ocp.optimizer.set_PrintLevel(2)
     flag = ocp.optimize()
     assert flag == 0, flag
+
+
+def test_path_link_with_staticparam_region():
+    """Mixed Path + StaticParams link: the params region must gather the
+    raw param value (not decode through the node layout)."""
+    pa = _phase(0.0, 1.0, nsegs=4)
+    pb = _phase(0.0, 1.0, nsegs=4)
+    pb.setStaticParams([0.25])
+    ocp = oc.OptimalControlProblem()
+    ocp.addPhase(pa)
+    ocp.addPhase(pb)
+    A = Args(2)
+    # sp_b - xA(t_j) at every node
+    ocp.addLinkEqualCon(A[0] - A[1],
+                        [(pb, "StaticParams", [], [], [0]),
+                         (pa, "Path", [0], [], [])])
+    ocp.transcribe()
+    x0 = ocp._make_input()
+    _, cE, _ = ocp._nlp.eval_obj_cons(np.asarray(x0))
+    cE = np.asarray(cE)
+    n = pa.numNodes
+    got = cE[-n:]
+    xa = np.asarray(pa.returnTraj())[:, 0]
+    want = 0.25 - xa
+    assert np.allclose(got, want, atol=1e-12), (got[:5], want[:5])
