@@ -30,3 +30,42 @@ class Timer:
     def reset(self):
         self._acc = 0.0
         self._t0 = None
+
+
+class Profiler:
+    """JAX profiler integration (SURVEY section 5.1): traces device
+    execution for TensorBoard / xprof.
+
+        with ast.Utils.Profiler("/tmp/trace"):
+            phase.optimize()
+
+    On remote-runtime TPU platforms where the profiler service is
+    unavailable the context degrades to a wall-clock Timer (read
+    `.elapsed` after exit) instead of failing the solve.
+    """
+
+    def __init__(self, logdir="/tmp/asset_trace"):
+        self.logdir = str(logdir)
+        self.elapsed = None
+        self._active = False
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        try:
+            import jax
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        except Exception:
+            self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                import jax
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        self.elapsed = time.perf_counter() - self._t0
+        return False
