@@ -17,7 +17,7 @@ from . import Astro
 from . import Utils
 from . import distributed  # noqa: F401 -- multi-host init + meshes
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 
 def SoftwareInfo():
