@@ -115,3 +115,36 @@ if __name__ == "__main__":
     Data = main(print_level=1)
     for j, D in enumerate(Data):
         print(f"sweep {j}: rendezvous time {D[1][6] / (2 * np.pi):.4f} rev")
+
+
+def ensemble_demo(nscen=64, mesh=None, print_level=2):
+    """Jet-analog scenario ensemble (SURVEY section 2.9 P4): `nscen`
+    perturbed copies of one low-thrust rendezvous leg solved by ONE
+    compiled vmapped FULL-PSIOPT program (`parallel.solve_ensemble`),
+    optionally sharded over a device mesh.  Every lane reproduces what a
+    separate phase.optimize() would return."""
+    from asset_asrl_tpu.parallel import solve_ensemble
+    ode = TwoBody(1, ltacc=0.05)
+    IG = [np.concatenate([row[:7], [0.01, 0, 0]])
+          for row in MakeCircTraj(1, 0.0, np.pi, 40)]
+    target = MakeCircIG(1.0, np.rad2deg(np.pi) + 4.0)
+    phase = ode.phase("LGL3", IG, 12)
+    phase.addBoundaryValue("Front", range(0, 7), np.asarray(IG[0][:7]))
+    phase.addUpperNormBound("Path", [7, 8, 9], 1.0)
+    phase.addBoundaryValue("Back", [6], [np.pi])
+    phase.addEqualCon("Back", Args(6) - target[0:6], range(0, 6))
+    phase.addIntegralObjective(Args(3).squared_norm(), [7, 8, 9])
+    phase.optimizer.set_PrintLevel(print_level)
+    flag0 = phase.optimize()      # baseline member
+    base = np.asarray(phase.makeSolverInput())
+
+    rng = np.random.default_rng(7)
+    perts = [rng.normal(size=base.shape) * 1e-4 for _ in range(nscen)]
+    t0 = time.time()
+    res = solve_ensemble(phase, perturb_states=perts, mesh=mesh)
+    dt = time.time() - t0
+    conv = int(np.sum(res["flags"] == 0))
+    print(f"ensemble: {conv}/{nscen} converged, "
+          f"iters {res['iters'].min()}..{res['iters'].max()}, "
+          f"{dt:.1f}s total")
+    return res

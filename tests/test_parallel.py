@@ -119,3 +119,21 @@ def test_sharded_mesh_determinism():
         st2, _ = vs_mesh(st2)
 
     assert np.allclose(np.asarray(st1[0]), np.asarray(st2[0]), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_multispacecraft_ensemble_64():
+    """64-scenario FULL-solve ensemble sharded over the virtual mesh
+    (SURVEY 2.9 P4 at the VERDICT-requested scale)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from MultiSpacecraftOptimization import ensemble_demo
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("scenario",))
+    res = ensemble_demo(nscen=64, mesh=mesh)
+    assert int(np.sum(res["flags"] == 0)) == 64, res["flags"]
