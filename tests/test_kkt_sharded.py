@@ -189,3 +189,58 @@ def test_sharded_full_solve_matches_single():
     assert int(out1[5]) == 0 and int(outD[5]) == 0
     x1, xD = np.asarray(out1[0]), np.asarray(outD[0])
     assert np.max(np.abs(x1 - xD)) / max(1.0, np.abs(x1).max()) < 1e-6
+
+
+@pytest.mark.slow
+def test_ocp_sharded_backend_user_api():
+    """Multi-phase OCP through setKKTBackend('sharded'): the concatenated
+    phase chain distributes over the mesh and reproduces the unsharded
+    solve."""
+    import importlib.util
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    mesh = _mesh()
+    import asset_asrl_tpu as ast
+    vf2 = ast.VectorFunctions
+    oc2 = ast.OptimalControl
+    A = vf2.Arguments
+
+    class DI(oc2.ODEBase):
+        def __init__(self):
+            XtU = oc2.ODEArguments(2, 1)
+            super().__init__(vf2.stack([XtU.XVar(1), XtU.UVar(0)]), 2, 1)
+
+    def build():
+        phases = []
+        for k in range(2):
+            ts = np.linspace(k, k + 1, 12)
+            IG = [[0.5 * t, 0.5, t, 0.0] for t in ts]
+            p = DI().phase("LGL3", IG, 10)
+            p.addIntegralObjective(A(1)[0] ** 2, [3])
+            phases.append(p)
+        phases[0].addBoundaryValue("Front", [0, 1, 2], [0, 0, 0])
+        phases[1].addBoundaryValue("Back", [0, 1, 2], [1, 0, 2])
+        o = oc2.OptimalControlProblem()
+        o.addPhase(phases[0])
+        o.addPhase(phases[1])
+        o.addForwardLinkEqualCon(phases[0], phases[1], [0, 1, 2])
+        o.optimizer.set_PrintLevel(2)
+        return o
+
+    o1 = build()
+    f1 = o1.optimize()
+    x1 = np.concatenate([np.asarray(p.returnTraj()).ravel()
+                         for p in o1.Phases])
+
+    o2 = build()
+    o2.setKKTBackend("sharded", mesh=mesh)
+    o2.transcribe()
+    from asset_asrl_tpu.Solvers.kkt_sharded import ShardedBlockKKT
+    assert isinstance(o2.optimizer.kkt, ShardedBlockKKT)
+    f2 = o2.optimize()
+    x2 = np.concatenate([np.asarray(p.returnTraj()).ravel()
+                         for p in o2.Phases])
+    assert f1 == f2 == 0
+    assert np.max(np.abs(x1 - x2)) < 1e-6
