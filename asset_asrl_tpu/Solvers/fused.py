@@ -489,7 +489,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
     return jax.jit(run)
 
 
-def run_stepwise(parts, x, s, lamE, lamI, Mu0, consts, chunk=8):
+def run_stepwise(parts, x, s, lamE, lamI, Mu0, consts, chunk=16):
     """Host-loop driver over build_fused_alg(..., parts=True): identical
     algorithm and results to the whole-solve jit, one device dispatch per
     `chunk` IPM iterations (plus a scalar flag sync).  Used above the
