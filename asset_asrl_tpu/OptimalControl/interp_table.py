@@ -38,6 +38,13 @@ class LGLInterpTable:
         XV, UV = phase.XV, phase.UV
         traj = phase._traj
         T = phase.tf - phase.t0
+        if not T > 0:
+            # _seg_t must be strictly increasing for the searchsorted /
+            # clip lookup below; a backward phase would silently return
+            # wrong samples (corrupting resampleTraj output)
+            raise ValueError(
+                f"LGLInterpTable.from_phase: phase time must be forward "
+                f"(t0={phase.t0}, tf={phase.tf})")
         S = phase.numSegs
         deg = 2 * cs - 1
 

@@ -333,6 +333,9 @@ class OptimalControlProblem:
         napps = None
         lo = 0
         for p, r, xtuv, opv, spv in sel:
+            # rkind is the per-region gather decoding ("node"/"raw"); it is
+            # deliberately distinct from the function-level `kind`
+            # (eq/iq/objective routing) used at the bottom of this method.
             if r in ("Path", "InnerPath"):
                 idx2d, taus = self._path_pack(
                     p, self._offsets_map[id(p)])
@@ -342,15 +345,15 @@ class OptimalControlProblem:
                     raise ValueError(
                         "PathToPath link requires equal node counts "
                         f"({idx2d.shape[0]} vs {napps})")
-                kind = "node"
+                rkind = "node"
             else:
                 pack = self._region_pack(p, self._offsets_map[id(p)], r)
                 idx2d = np.asarray(pack[2], np.int64)[None, :]
                 taus = np.asarray([pack[3]])
-                kind = pack[0]          # "node" (Front/Back) or "raw"
+                rkind = pack[0]         # "node" (Front/Back) or "raw"
             packs.append((p, lo, idx2d.shape[1],
                           np.asarray(xtuv), np.asarray(opv),
-                          np.asarray(spv), kind, r))
+                          np.asarray(spv), rkind, r))
             idx_parts.append(idx2d)
             tau_cols.append(taus)
             lo += idx2d.shape[1]
@@ -370,9 +373,9 @@ class OptimalControlProblem:
 
         def fun(g, c):
             parts = []
-            for i, (p, lo_, ln, xtuv, opv, spv, kind, r) in \
+            for i, (p, lo_, ln, xtuv, opv, spv, rkind, r) in \
                     enumerate(packs):
-                if kind == "raw":
+                if rkind == "raw":
                     # ODEParams/StaticParams region: the gather IS the
                     # param vector — select with the matching index set
                     # (routing it through the node-layout decoder would

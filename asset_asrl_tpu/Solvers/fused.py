@@ -76,6 +76,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
     lsmode = opts["SoeLSMode"] if soe else opts["OptLSMode"]
     pdstrat = str(opts.get("PDStepStrategy", "PrimSlackEq_Iq"))
     init_lmults = bool(opts.get("InitLmults", False))
+    probe_corr = bool(opts.get("ProbeCorrector", True))
     MaxIters = int(opts["MaxIters"])
     MaxAccIters = int(opts["MaxAccIters"])
     MaxLSIters = int(opts["MaxLSIters"])
@@ -143,22 +144,36 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
         while_loop so the factorization graph (the largest subgraph in the
         whole solve — Pallas inverse kernels per BCR level) is instantiated
         exactly once."""
-        # On TPU the zero-perturbation probe is floored at deltaH: dd-f64
-        # unpivoted elimination of a genuinely indefinite delta=0 matrix
-        # breaks down SILENTLY (measured at a wandering iterate: true
-        # inertia excess +3751 counted as +0, factorization residual ~6,
-        # while at delta>=1e-5 both inertia and solves are exact) — a
-        # delta=0 "success" cannot be trusted there.
-        probe_d = deltaH if jax.default_backend() == "tpu" else 0.0
-        d0 = jnp.where(zfac, probe_d, Hpert0)
-        incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
-        dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
 
         def factor_blocks(bl, d):
             # unit_diag: SOE mode's setPrimalDiags(1.0) analog
             return kkt._factor_blocks_impl(bl, d + unit_diag, gammaE)
 
-        fac_shapes, _ = jax.eval_shape(factor_blocks, blocks, d0)
+        fac_shapes, _ = jax.eval_shape(factor_blocks, blocks,
+                                       jnp.zeros((), DEFAULT_DTYPE))
+        # On TPU, dd-f64 unpivoted elimination of a genuinely indefinite
+        # delta=0 matrix breaks down SILENTLY (measured at a wandering
+        # iterate: true inertia excess +3751 counted as +0, factorization
+        # residual ~6, while at delta>=deltaH both inertia and solves are
+        # exact).  When the factor carries the exact blocks (refine path)
+        # the delta=0 probe is TRUSTED-BUT-VERIFIED by a solve-residual
+        # check (kkt_block.factor_quality) — a verified delta=0 step is a
+        # true Newton step, which is what kills the late-IPM stall the
+        # old deltaH probe floor caused (the dH-perturbed system caps the
+        # achievable KKT residual near dH * |dx|).  Without blocks64 the
+        # probe stays floored at deltaH.
+        can_verify = "blocks64" in fac_shapes \
+            and jax.default_backend() == "tpu"
+        import os
+        qtol = float(os.environ.get("ASSET_PROBE_QTOL", 1e-2))
+        if can_verify:
+            rq_blk = jnp.asarray(getattr(kkt, "_rq_blk"))
+            rq_brd = jnp.asarray(getattr(kkt, "_rq_brd"))
+        probe_d = 0.0 if (can_verify
+                          or jax.default_backend() != "tpu") else deltaH
+        d0 = jnp.where(zfac, probe_d, Hpert0)
+        incr0 = incrH * jnp.where(first_pert, incrH, 1.0)
+        dnext0 = jnp.where(zfac, Hpert0, Hpert0 * incr0)
         fac_init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                 fac_shapes)
 
@@ -171,6 +186,15 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
             d = jnp.where(started, dnext, d0)
             fac2, neigs2 = factor_blocks(blocks, d)
             neigs2 = jnp.asarray(neigs2, jnp.int32)
+            if can_verify:
+                from .kkt_block import factor_quality
+                rel = jax.lax.cond(
+                    d == 0.0,
+                    lambda f: factor_quality(f, rq_blk, rq_brd),
+                    lambda f: jnp.zeros((), DEFAULT_DTYPE),
+                    fac2)
+                neigs2 = jnp.where(rel > qtol,
+                                   jnp.asarray(mE + 1, jnp.int32), neigs2)
             dn2 = jnp.where(started, dnext * incrH, dnext0)
             k2 = jnp.where(started, k + 1, k)
             return (fac2, neigs2, d, dn2, k2, jnp.ones((), bool))
@@ -294,6 +318,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
 
         # ------------------------------------------- barrier mu update
         iq_jx = famvals["jx_iq"]
+        corr = jnp.zeros((mI,), DEFAULT_DTYPE)
         if mI > 0:
             if barmode == "PROBE":
                 w_aff = rI - SigInv * lamI
@@ -301,9 +326,21 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
                 dxa, _ = kkt._solve_impl(fac, -rx_aff, -cE)
                 dlamI_aff = sig_tilde * (iq_matvec(iq_jx, dxa) + w_aff)
                 ds_aff = -SigInv * (lamI + dlamI_aff)
-                navg = jnp.mean((s + ds_aff) * (lamI + dlamI_aff))
+                # fraction-to-boundary damping of the affine probe (the
+                # undamped products can go negative and corrupt mu_aff)
+                apa = maxstep(s, ds_aff)
+                ada = maxstep(lamI, dlamI_aff)
+                navg = jnp.mean((s + apa * ds_aff)
+                                * (lamI + ada * dlamI_aff))
                 Mu = jnp.where(avgcomp != 0,
                                (navg / avgcomp) ** 3 * avgcomp, Mu)
+                if probe_corr:
+                    # Mehrotra second-order correction: the affine
+                    # products ds_aff*dlam_aff enter the complementarity
+                    # rhs, reusing the probe solve this mode already pays
+                    # for (standard predictor-corrector; the reference
+                    # probe adjusts mu only)
+                    corr = ds_aff * dlamI_aff / s
             else:  # LOQO
                 eta = jnp.where(avgcomp != 0, mincomp / avgcomp, 0.0)
                 sigmat = 0.1 * (0.05 * (1.0 - eta)
@@ -313,7 +350,7 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
                 Mu = sig_mu * avgcomp
             Mu = jnp.clip(Mu, MinMu, MaxMu)
             BarrObj = -Mu * jnp.sum(jnp.log(jnp.maximum(s, 1e-300)))
-            rs = lamI - Mu / s
+            rs = lamI - Mu / s + corr
         else:
             BarrObj = jnp.zeros((), DEFAULT_DTYPE)
             rs = jnp.zeros((0,), DEFAULT_DTYPE)

@@ -436,8 +436,8 @@ REFINE_STEPS = 3
 # solve error at K~2500 late in the IPM — enough to stall the Newton
 # iteration at kkt~1e-3 (CPU, true f64, converges).  Richardson refinement
 # dx += M^-1 (r - K dx) with the exact stored blocks contracts the error
-# by the solve's ~1e-4 ratio per step: one step restores ~1e-8, two ~1e-12.
-#   "auto": 2 steps on TPU, 0 elsewhere; an int forces that step count.
+# by the solve's ~1e-4 ratio per step: one step restores ~1e-8.
+#   "auto": 1 step on TPU, 0 elsewhere; an int forces that step count.
 REFINE_MODE = "auto"
 
 
@@ -891,7 +891,7 @@ def _block_matvec(blocks64):
     return matvec
 
 
-def bcr_richardson_solve(fac, rblk, rbrd, nlevels=None, steps=2):
+def bcr_richardson_solve(fac, rblk, rbrd, nlevels=None, steps=1):
     """f64 solve + Richardson iterative refinement against the exact
     stored blocks:  dx += M^-1 (r - K dx).
 
@@ -922,6 +922,34 @@ def bcr_richardson_solve(fac, rblk, rbrd, nlevels=None, steps=2):
         y = y + dy
         z = z + dz
     return y, z
+
+
+def factor_quality(fac, rblk, rbrd):
+    """Relative solve residual of one preconditioner sweep on a fixed
+    probe rhs — the trust-but-verify companion of the delta=0 probe.
+
+    TPU dd-f64 unpivoted elimination of a genuinely indefinite matrix can
+    break down SILENTLY (measured: true inertia excess +3751 counted as
+    +0 with solve residual ~6.5, while a healthy factor solves to ~1e-10),
+    so the pivot-sign inertia count alone cannot be trusted at delta=0.
+    One extra solve sweep + exact-blocks matvec separates the two regimes
+    by ~8 orders of magnitude; on failure the caller treats the probe as
+    an inertia failure and the perturbation ladder engages at
+    delta >= deltaH, where the elimination is measured exact.  Requires
+    fac["blocks64"] (present on the TPU refine path)."""
+    matvec = _block_matvec(fac["blocks64"])
+    scale = fac.get("scale")
+    if scale is None:
+        y, z = bcr_solve(fac, rblk, rbrd)
+    else:
+        sK, sb = scale
+        dy, dz = bcr_solve(fac, sK * rblk, sb * rbrd)
+        y, z = sK * dy, sb * dz
+    Ay, Az = matvec(y, z)
+    num = jnp.sqrt(jnp.sum((Ay - rblk) ** 2) + jnp.sum((Az - rbrd) ** 2))
+    den = jnp.sqrt(jnp.sum(rblk ** 2) + jnp.sum(rbrd ** 2))
+    rel = num / jnp.where(den > 0, den, 1.0)
+    return jnp.where(jnp.isfinite(rel), rel, jnp.inf)
 
 
 def bcr_refined_solve(fac, rblk, rbrd, nlevels=None, m=None):
@@ -1131,11 +1159,16 @@ def _apply_patch_plan(plan, vals2d, diag, lower):
     K = diag.shape[0]
     v = vals2d[a0:a1]
     hi = v.astype(jnp.float32)
-    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
-    acc = jnp.zeros((a1 - a0, 4 * W * W), v.dtype)
-    for S in plan["layers"]:
-        acc = acc + jnp.dot(hi, S, precision="highest").astype(v.dtype) \
-            + jnp.dot(lo, S, precision="highest").astype(v.dtype)
+    acc = jnp.zeros((a1 - a0, 4 * W * W), diag.dtype)
+    if v.dtype == jnp.float32:
+        # f32 source values (ASSET_JAC/HESS_DTYPE=f32): hi IS exact
+        for S in plan["layers"]:
+            acc = acc + jnp.dot(hi, S, precision="highest").astype(acc.dtype)
+    else:
+        lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+        for S in plan["layers"]:
+            acc = acc + jnp.dot(hi, S, precision="highest").astype(acc.dtype) \
+                + jnp.dot(lo, S, precision="highest").astype(acc.dtype)
     G = (a1 - a0) // P
     A = acc.reshape(G, P, 2 * W, 2 * W).sum(1)
     g0 = min(G, K - m0)
@@ -1235,11 +1268,15 @@ def _apply_patch_plan_B(plan, vals2d, Bmat):
     K = Bmat.shape[0]
     v = vals2d[a0:a1]
     hi = v.astype(jnp.float32)
-    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
-    acc = jnp.zeros((a1 - a0, 2 * W * b), v.dtype)
-    for S in plan["layers"]:
-        acc = acc + jnp.dot(hi, S, precision="highest").astype(v.dtype) \
-            + jnp.dot(lo, S, precision="highest").astype(v.dtype)
+    acc = jnp.zeros((a1 - a0, 2 * W * b), Bmat.dtype)
+    if v.dtype == jnp.float32:
+        for S in plan["layers"]:
+            acc = acc + jnp.dot(hi, S, precision="highest").astype(acc.dtype)
+    else:
+        lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+        for S in plan["layers"]:
+            acc = acc + jnp.dot(hi, S, precision="highest").astype(acc.dtype) \
+                + jnp.dot(lo, S, precision="highest").astype(acc.dtype)
     G = (a1 - a0) // P
     A = acc.reshape(G, P, 2, W, b).sum(1)
     g0 = min(G, K - m0)
@@ -1301,7 +1338,16 @@ class BlockKKT:
     def __init__(self, nlp, node_of_var, probe_seed=7, x0=None):
         nlp.freeze()
         self.nlp = nlp
-        from .nlp import _family_full, _family_valjac, _family_hess
+        from .nlp import (_family_full, _family_valjac, _family_hess,
+                          _family_hess_f32, _family_valgradjac_mixed)
+        import os
+        # Precision of the family AD passes feeding the KKT *matrix* (the
+        # residuals rd/cE/cI always stay f64; see nlp._family_hess_f32 /
+        # _family_valgradjac_mixed).  TPU dd-f64 emulation makes these the
+        # dominant per-iteration cost at scale.
+        self._hess32 = os.environ.get("ASSET_HESS_DTYPE", "f64") == "f32"
+        self._jac32 = os.environ.get("ASSET_JAC_DTYPE", "f64") == "f32"
+        fam_hess = _family_hess_f32 if self._hess32 else _family_hess
 
         # ---- probe structural sparsity of every family (TPU analog of the
         # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| near the
@@ -1406,7 +1452,8 @@ class BlockKKT:
         for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows, eq_nz):
             self._eq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                hess=_family_hess(f.fun),
+                vjg=_family_valgradjac_mixed(f.fun),
+                hess=fam_hess(f.fun),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1419,7 +1466,8 @@ class BlockKKT:
                 hfull |= np.outer(jnz[r], jnz[r])
             self._iq.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                hess=_family_hess(f.fun),
+                vjg=_family_valgradjac_mixed(f.fun),
+                hess=fam_hess(f.fun),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz, hfull=hfull,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1427,11 +1475,21 @@ class BlockKKT:
         for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
             self._obj.append(dict(
                 full=_family_full(f.fun), vj=_family_valjac(f.fun),
-                hess=_family_hess(f.fun),
+                vjg=_family_valgradjac_mixed(f.fun),
+                hess=fam_hess(f.fun),
                 Vidx=np.asarray(f.Vidx),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
         self._build_plan()
+        # fixed pseudo-random probe rhs for the delta=0 factor-quality
+        # check (see _factor_quality): a silently broken dd-f64 unpivoted
+        # elimination produces O(1) relative solve residuals vs ~1e-10 for
+        # a healthy factor, so one solve+matvec separates them reliably.
+        rng_q = np.random.default_rng(12345)
+        self._rq_blk = np.asarray(
+            rng_q.standard_normal((self.bs.K, self.bs.W)), np.float64)
+        self._rq_brd = np.asarray(
+            rng_q.standard_normal((self.bs.b,)), np.float64)
 
         # regularization diagonal masks
         K, W, b = bs.K, bs.W, bs.b
@@ -1649,26 +1707,35 @@ class BlockKKT:
                                  DEFAULT_DTYPE)
             return None
 
+        def valgrad(fam, cc, lam):
+            """Value, adjoint gradient J^T lam (always f64), matrix
+            Jacobian (f32 under ASSET_JAC_DTYPE=f32 — the matrix entries
+            tolerate inexactness, rd does not)."""
+            if self._jac32:
+                return fam["vjg"](x[fam["Vidx"]], cc, lam)
+            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
+            return fx, (jx * lam[:, :, None]).sum(1), jx
+
         for fam, cc in zip(self._eq, econ):
             lam = lamE[fam["rows"]]
-            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
+            fx, g, jx = valgrad(fam, cc, lam)
             hx = hess_of(fam, x[fam["Vidx"]], cc, lam)
             famvals["jx_eq"].append(jx)
             famvals["hx_eq"].append(hx)
             ce.append(fx.ravel())
-            g2d.append((jx * lam[:, :, None]).sum(1))
+            g2d.append(g)
         for fam, cc in zip(self._iq, icon):
             lam = lamI[fam["rows"]]
-            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
+            fx, g, jx = valgrad(fam, cc, lam)
             hx = hess_of(fam, x[fam["Vidx"]], cc, lam)
             famvals["jx_iq"].append(jx)
             famvals["hx_iq"].append(hx)
             ci.append(fx.ravel())
-            g2d.append((jx * lam[:, :, None]).sum(1))
+            g2d.append(g)
         for fam, cc in zip(self._obj, ocon):
-            fx, jx = fam["vj"](x[fam["Vidx"]], cc)
+            ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
+            fx, g, jx = valgrad(fam, cc, ones)
             if want_hess is True and fam["need_hess"]:
-                ones = jnp.ones((fam["napps"], 1), DEFAULT_DTYPE)
                 hx = sigma * fam["hess"](x[fam["Vidx"]], cc, ones)
             elif want_hess == "zeros" and fam["need_hess"]:
                 hx = jnp.zeros((fam["napps"], fam["nin"], fam["nin"]),
@@ -1677,7 +1744,7 @@ class BlockKKT:
                 hx = None
             obj = obj + jnp.sum(fx)
             famvals["hx_obj"].append(hx)
-            g2d.append(sigma * jx.reshape(fam["napps"], fam["nin"]))
+            g2d.append(sigma * g)
         cE = jnp.concatenate(ce) if ce else jnp.zeros((0,), DEFAULT_DTYPE)
         cI = jnp.concatenate(ci) if ci else jnp.zeros((0,), DEFAULT_DTYPE)
         gbuf = jnp.concatenate([g.ravel() for g in g2d]
@@ -1817,6 +1884,21 @@ class BlockKKT:
             jnp.asarray(delta), jnp.asarray(gammaE),
             self.nlp.consts_dev())
         return fac, int(neigs)
+
+    def factor_quality_check(self, fac):
+        """Relative solve residual of the factor on a fixed probe rhs
+        (see kkt_block.factor_quality) — the host-loop companion of the
+        fused ladder's verified delta=0 probe.  Returns None when the
+        factor carries no exact blocks (nothing to verify against)."""
+        if "blocks64" not in fac:
+            return None
+        jit_q = getattr(self, "_jit_quality", None)
+        if jit_q is None:
+            rb = jnp.asarray(self._rq_blk)
+            rz = jnp.asarray(self._rq_brd)
+            jit_q = jax.jit(lambda f: factor_quality(f, rb, rz))
+            self._jit_quality = jit_q
+        return float(jit_q(fac))
 
     # --------------------------------------------------------------- solve
     def _solve_impl(self, fac, rhs_x, rhs_E):

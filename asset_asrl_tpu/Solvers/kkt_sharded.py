@@ -518,7 +518,12 @@ class ShardedBlockKKT:
             return y[:K], z
 
         y, z = sweep(rblk, rbrd)
-        if "blocks64" in fac:
+        # plain Richardson refinement is only safe around a full-precision
+        # factor; an f32 factor's contraction ratio can approach 1 late in
+        # the IPM (the single-chip path uses FGMRES there instead), so gate
+        # on the factor dtype like kkt_block._solve_impl does.
+        from ..config import DEFAULT_DTYPE
+        if "blocks64" in fac and fac["D0inv"].dtype == DEFAULT_DTYPE:
             matvec = _block_matvec(fac["blocks64"])
             for _ in range(_refine_steps()):
                 Ay, Az = matvec(y, z)

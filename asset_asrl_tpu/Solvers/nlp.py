@@ -144,6 +144,57 @@ def _family_hess(fun):
     return jax.vmap(one)
 
 
+def _family_hess_f32(fun):
+    """Adjoint Hessian computed in f32, returned as DEFAULT_DTYPE.
+
+    TPU f64 is double-double f32 emulation (~10-30x slower elementwise);
+    the adjoint Hessian is the single most expensive family-AD pass (nin
+    forward tangents through a reverse sweep) yet only enters the KKT
+    MATRIX, never the residuals — the convergence measurements (rd, cE,
+    cI) always come from the f64 value/Jacobian pass.  An f32-accurate
+    curvature block turns exact Newton into an inexact Newton step whose
+    relative error tracks the scaled matrix perturbation (~1e-7 * the
+    Ruiz-scaled conditioning), which the IPM absorbs as a slightly higher
+    linear rate near the optimum.  Select with ASSET_HESS_DTYPE=f32.
+
+    The inner function may still promote pieces to f64 (np-constant
+    coefficient matrices inside closures); the cotangent is therefore cast
+    to the primal output dtype so the vjp stays well-typed either way."""
+    def one(xloc, consts, lam):
+        x32 = xloc.astype(jnp.float32)
+        c32 = consts.astype(jnp.float32)
+        f = lambda z: jnp.atleast_1d(fun(z, c32))
+
+        def agrad(z):
+            fx, vjpf = jax.vjp(f, z)
+            return vjpf(lam.astype(fx.dtype))[0]
+
+        hx = jax.jacfwd(agrad)(x32)
+        return hx.astype(DEFAULT_DTYPE)
+    return jax.vmap(one)
+
+
+def _family_valgradjac_mixed(fun):
+    """Value + exact adjoint gradient (f64 vjp) + f32 matrix Jacobian.
+
+    Splits the two jobs the full Jacobian currently serves: the KKT
+    residual rd needs J^T lam EXACTLY (one f64 reverse sweep, ~2 function
+    evaluations), while the assembled KKT matrix tolerates f32 entries
+    (inexact Newton, see _family_hess_f32).  Replaces one dd-f64 jacfwd
+    over nin tangents with one dd-f64 vjp + one f32 jacfwd — the f32
+    tangents run at native VPU speed.  Select with ASSET_JAC_DTYPE=f32."""
+    def one(xloc, consts, lam):
+        f = lambda z: jnp.atleast_1d(fun(z, consts))
+        fx, vjpf = jax.vjp(f, xloc)
+        g = vjpf(lam.astype(fx.dtype))[0]
+        x32 = xloc.astype(jnp.float32)
+        c32 = consts.astype(jnp.float32)
+        f32 = lambda z: jnp.atleast_1d(fun(z, c32))
+        jx = jax.jacfwd(f32)(x32)
+        return fx, g, jx
+    return jax.vmap(one)
+
+
 class NonLinearProgram:
     """Assembles families into one NLP with dense or structured KKT output.
 

@@ -124,6 +124,10 @@ class PSIOPT:
         # Primal-dual step strategy (reference `PSIOPT.cpp:30-57`):
         # PrimSlackEq_Iq | AllMinimum | PrimSlack_EqIq | MaxEq
         self.PDStepStrategy = "PrimSlackEq_Iq"
+        # Mehrotra second-order correction in PROBE barrier mode: reuse
+        # the affine probe's ds/dlam products in the complementarity rhs
+        # (predictor-corrector; the reference probe only adjusts mu).
+        self.ProbeCorrector = True
         # Initialize equality multipliers with the reference init_impl
         # least-squares estimate (`PSIOPT.cpp:728-807`) before each pass.
         self.InitLmults = True
@@ -351,7 +355,8 @@ class PSIOPT:
                 "decrH", "initMu", "MaxMu", "MinMu", "ObjScale",
                 "alphaRed", "OptBarMode", "SoeBarMode", "OptLSMode",
                 "SoeLSMode", "FastFactorAlg", "gammaE", "gammaI",
-                "BestCriteria", "PDStepStrategy", "InitLmults")
+                "BestCriteria", "PDStepStrategy", "InitLmults",
+                "ProbeCorrector")
         return {k: getattr(self, k) for k in keys}
 
     def _alg_fused(self, mode, x, s, lamE, lamI):
@@ -522,11 +527,28 @@ class PSIOPT:
             nhpert = 0.0
             factor = None
             if zfac:
-                # TPU: probe floored at deltaH (see fused.factor_ladder)
-                probe_d = self.deltaH \
-                    if jax.default_backend() == "tpu" else 0.0
+                # TPU: delta=0 probe is trusted-but-verified by a solve-
+                # residual check when the factor carries exact blocks;
+                # otherwise floored at deltaH (see fused.factor_ladder)
+                on_tpu = jax.default_backend() == "tpu"
+                can_verify = on_tpu and hasattr(self.kkt,
+                                                "factor_quality_check")
+                probe_d = self.deltaH if (on_tpu and not can_verify) else 0.0
                 factor, neigs = self.kkt.factor(
                     x, lamE, lamI, sigma, sig_tilde, probe_d, self.gammaE)
+                if can_verify and probe_d == 0.0 \
+                        and neigs <= target_neigs:
+                    import os
+                    qtol = float(os.environ.get("ASSET_PROBE_QTOL", 1e-2))
+                    rel = self.kkt.factor_quality_check(factor)
+                    if rel is None:
+                        # no exact blocks to verify against: refuse the
+                        # unverifiable delta=0 factor on TPU
+                        factor, neigs = self.kkt.factor(
+                            x, lamE, lamI, sigma, sig_tilde, self.deltaH,
+                            self.gammaE)
+                    elif rel > qtol:
+                        neigs = target_neigs + 1
                 if neigs <= target_neigs:
                     nhpert = 0.0
                 else:
@@ -548,6 +570,7 @@ class PSIOPT:
             hfacs_hist.append(nfacs)
 
             # ------------------------------------------- barrier mu update
+            corr = 0.0
             if mI > 0:
                 if barmode == "PROBE":
                     # Mehrotra probe: affine step (mu = 0 dual gradient)
@@ -558,8 +581,17 @@ class PSIOPT:
                     dlamI_aff = sig_tilde * (
                         self.kkt.iq_matvec(factor, dxa) + w_aff)
                     ds_aff = -SigInv * (lamI + dlamI_aff)
-                    navg = float(jnp.mean((s + ds_aff) * (lamI + dlamI_aff)))
+                    # fraction-to-boundary damping of the affine probe
+                    apa = float(_max_step_to_boundary(
+                        s, ds_aff, self.BoundFraction))
+                    ada = float(_max_step_to_boundary(
+                        lamI, dlamI_aff, self.BoundFraction))
+                    navg = float(jnp.mean((s + apa * ds_aff)
+                                          * (lamI + ada * dlamI_aff)))
                     Mu = (navg / avgcomp) ** 3 * avgcomp if avgcomp != 0 else Mu
+                    if self.ProbeCorrector:
+                        # Mehrotra second-order correction (see fused.py)
+                        corr = ds_aff * dlamI_aff / s
                 else:  # LOQO (reference default)
                     eta = mincomp / avgcomp if avgcomp != 0 else 0.0
                     sigmat = 0.1 * (0.05 * (1.0 - eta) / max(eta, 1e-300)) ** 3 \
@@ -568,7 +600,7 @@ class PSIOPT:
                     Mu = sig_mu * avgcomp
                 Mu = float(np.clip(Mu, self.MinMu, self.MaxMu))
                 BarrObj = float(-Mu * jnp.sum(jnp.log(s))) if mI > 0 else 0.0
-                rs = lamI - Mu / s
+                rs = lamI - Mu / s + corr
             else:
                 BarrObj = 0.0
                 rs = jnp.zeros((0,), DEFAULT_DTYPE)

@@ -48,18 +48,43 @@ def test_pathtopath_direct_link():
 
 
 def test_path_link_objective():
-    """Path-region link objective: integral-like sum over node pairs."""
-    pa = _phase(0.0, 1.0)
-    pb = _phase(0.0, 1.0, nsegs=8)
-    ocp = oc.OptimalControlProblem()
-    ocp.addPhase(pa)
-    ocp.addPhase(pb)
-    A = Args(8)   # [xA, vA, tA, uA, xB, vB, tB, uB]
-    ocp.addLinkObjective(((A[0] - A[4]) ** 2) * 0.01,
-                         [(pa, "Path"), (pb, "Path")])
-    ocp.optimizer.set_PrintLevel(2)
+    """Path-region link objective: integral-like sum over node pairs.
+
+    The phases are DIFFERENT (offset boundary conditions) so the link term
+    is nonzero, and the routing is asserted directly: the link must add an
+    objective family, not equality rows (a misrouted objective would both
+    change numEq and force the gap to zero)."""
+    def build(with_link):
+        pa = _phase(0.0, 1.0)
+        pb = _phase(0.2, 1.2, nsegs=8)
+        ocp = oc.OptimalControlProblem()
+        ocp.addPhase(pa)
+        ocp.addPhase(pb)
+        if with_link:
+            A = Args(8)   # [xA, vA, tA, uA, xB, vB, tB, uB]
+            ocp.addLinkObjective(((A[0] - A[4]) ** 2) * 10.0,
+                                 [(pa, "Path"), (pb, "Path")])
+        ocp.optimizer.set_PrintLevel(2)
+        return ocp, pa, pb
+
+    base, _, _ = build(False)
+    base.transcribe()
+    ocp, pa, pb = build(True)
+    ocp.transcribe()
+    # routing: objective family added, NO equality/inequality rows added
+    assert ocp._nlp.numEq == base._nlp.numEq
+    assert ocp._nlp.numIq == base._nlp.numIq
+    assert len(ocp._nlp.objectives) == len(base._nlp.objectives) + 1
     flag = ocp.optimize()
     assert flag == 0, flag
+    ta = np.asarray(pa.returnTraj())
+    tb = np.asarray(pb.returnTraj())
+    gap = tb[:, 0] - ta[:, 0]
+    # soft objective: interior gap pulled well below the 0.2 boundary
+    # offset, but NOT forced to zero (a hard equality would conflict with
+    # the pinned boundary values and could not converge to this state)
+    assert gap.min() < 0.1
+    assert abs(gap[0] - 0.2) < 1e-6 and abs(gap[-1] - 0.2) < 1e-6
 
 
 def test_path_link_with_staticparam_region():
