@@ -23,68 +23,80 @@ from ..Solvers.psiopt import ConvergenceFlags
 _TEST_TAUS = np.array([0.3, 0.7])
 
 
-def _segment_hermite(phase, k):
-    """Hermite polynomial data for solved segment k: returns callables
-    p(sigma), p'(sigma) over local sigma in [0,1] (state only)."""
+def _segment_coefs(phase):
+    """Hermite coefficients of every solved segment in ONE pass.
+
+    Returns (coef (S, deg+1, XV), hs (S,), fs_all (N, XV)): per segment the
+    degree-(2cs-1) polynomial in local sigma matching (x_j, h f_j) at the
+    scheme's cardinal taus.  The node tangents come from one vmapped RHS
+    evaluation over all N nodes — the per-segment/per-node host loops this
+    replaces cost O(S) device dispatches per mesh iteration at the 10k-node
+    scale this framework targets."""
+    import jax
     sch = phase._scheme
     cs = phase._cs
-    nodes = phase.seg_nodes[k]
-    traj = phase._traj
     XV = phase.XV
-    T = phase.tf - phase.t0
-    h = (phase.seg_bounds[k + 1] - phase.seg_bounds[k]) * T
-    xs = traj[nodes, :XV]
-    fs = np.stack([
-        np.asarray(phase.ode.vf().compute(traj[n])) for n in nodes])
-    # Hermite coefficients: p matches (x_j, h f_j) at cardinal taus
     deg = 2 * cs - 1
+    T = phase.tf - phase.t0
+    traj = phase._traj
+    rows = np.concatenate(
+        [traj, np.tile(phase._odeparams, (traj.shape[0], 1))], axis=1)
+    fs_all = np.asarray(jax.vmap(phase.ode.vf().trace)(rows))[:, :XV]
     A = np.zeros((2 * cs, deg + 1))
     for j, tc in enumerate(sch.cardinal_tau):
         A[j] = tc ** np.arange(deg + 1)
-        row = np.zeros(deg + 1)
-        row[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
-        A[cs + j] = row
-    coef = np.linalg.solve(A, np.vstack([xs, h * fs]))  # (deg+1, XV)
-
-    def p(sig):
-        return (sig ** np.arange(deg + 1)) @ coef
-
-    def dp(sig):
-        row = np.zeros(deg + 1)
-        row[1:] = np.arange(1, deg + 1) * sig ** np.arange(deg)
-        return row @ coef
-
-    return p, dp, h, nodes
+        r = np.zeros(deg + 1)
+        r[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
+        A[cs + j] = r
+    Ainv = np.linalg.inv(A)
+    hs = np.diff(phase.seg_bounds) * T                       # (S,)
+    xs = traj[phase.seg_nodes, :XV]                          # (S, cs, XV)
+    fs = fs_all[phase.seg_nodes]                             # (S, cs, XV)
+    rhs = np.concatenate([xs, hs[:, None, None] * fs], axis=1)
+    coef = np.einsum("ij,sjx->six", Ainv, rhs)               # (S,deg+1,XV)
+    return coef, hs, fs_all
 
 
 def _residual_errors(phase):
-    """Per-segment defect-residual error estimate."""
+    """Per-segment defect-residual error estimate |p'(sig) - h f(p(sig))|
+    at off-collocation test points, vectorized: one vmapped RHS call over
+    all (segment, test-point) pairs instead of per-node host dispatches."""
+    import jax
+    from .lgl import lagrange_weights
     XV, UV = phase.XV, phase.UV
     T = phase.tf - phase.t0
-    errs = np.zeros(phase.numSegs)
     sch = phase._scheme
-    for k in range(phase.numSegs):
-        p, dp, h, nodes = _segment_hermite(phase, k)
-        us = phase._traj[nodes, XV + 1:]
-        t0seg = phase.t0 + phase.seg_bounds[k] * T
-        e = 0.0
-        for sig in _TEST_TAUS:
-            xsig = p(sig)
-            # control: Lagrange interp of cardinal controls
-            from .lgl import lagrange_weights
-            w = lagrange_weights(sch.cardinal_tau, sig)
-            usig = w @ us
-            tsig = t0seg + sig * h
-            row = np.concatenate([xsig, [tsig], usig, phase._odeparams])
-            f = np.asarray(phase.ode.vf().compute(row))
-            e = max(e, float(np.max(np.abs(dp(sig) - h * f))))
-        errs[k] = e
-    return errs
+    cs = phase._cs
+    deg = 2 * cs - 1
+    S = phase.numSegs
+    coef, hs, _ = _segment_coefs(phase)
+    us = phase._traj[phase.seg_nodes, XV + 1:]               # (S, cs, UV)
+    t0seg = phase.t0 + phase.seg_bounds[:-1] * T             # (S,)
+
+    sig = _TEST_TAUS                                         # (ntau,)
+    pw = sig[:, None] ** np.arange(deg + 1)                  # (ntau, deg+1)
+    dpw = np.zeros((len(sig), deg + 1))
+    dpw[:, 1:] = np.arange(1, deg + 1) * sig[:, None] ** np.arange(deg)
+    x_t = np.einsum("td,sdx->stx", pw, coef)                 # (S, ntau, XV)
+    dp_t = np.einsum("td,sdx->stx", dpw, coef)               # (S, ntau, XV)
+    wU = np.stack([lagrange_weights(sch.cardinal_tau, sg) for sg in sig])
+    u_t = np.einsum("tc,scu->stu", wU, us)                   # (S, ntau, UV)
+    t_t = t0seg[:, None] + sig[None, :] * hs[:, None]        # (S, ntau)
+    rows = np.concatenate(
+        [x_t, t_t[:, :, None], u_t,
+         np.broadcast_to(phase._odeparams, (S, len(sig), phase.PV))],
+        axis=2).reshape(S * len(sig), -1)
+    f = np.asarray(jax.vmap(phase.ode.vf().trace)(rows))[:, :XV]
+    f = f.reshape(S, len(sig), XV)
+    res = np.abs(dp_t - hs[:, None, None] * f)
+    return res.max(axis=(1, 2))
 
 
 def _integrator_errors(phase):
     """Re-integrate each segment and compare endpoint states
-    (reference get_meshinfo_integrator, `ODEPhase.h:592-660`)."""
+    (reference get_meshinfo_integrator, `ODEPhase.h:592-660`), batched:
+    all segments propagate in ONE vmapped adaptive-integrator dispatch
+    (`Integrator.integrate_parallel`)."""
     from ..Integrators import Integrator
     XV = phase.XV
     T = phase.tf - phase.t0
@@ -97,16 +109,15 @@ def _integrator_errors(phase):
                            tab, uvars)
     else:
         integ = Integrator(phase.ode, 0.05 * T / max(phase.numSegs, 1))
-    errs = np.zeros(phase.numSegs)
-    for k in range(phase.numSegs):
-        nodes = phase.seg_nodes[k]
-        row0 = phase._traj[nodes[0]]
-        row1 = phase._traj[nodes[-1]]
-        x0 = np.concatenate([row0[:XV + 1], row0[XV + 1:],
-                             phase._odeparams])
-        xf = integ.integrate(x0, row1[XV])
-        errs[k] = float(np.max(np.abs(xf[:XV] - row1[:XV])))
-    return errs
+    first = phase.seg_nodes[:, 0]
+    last = phase.seg_nodes[:, -1]
+    rows0 = phase._traj[first]
+    rows1 = phase._traj[last]
+    x0s = np.concatenate(
+        [rows0, np.tile(phase._odeparams, (len(rows0), 1))], axis=1)
+    xfs = integ.integrate_parallel(x0s, rows1[:, XV])
+    xfs = np.stack([np.asarray(r) for r in xfs])
+    return np.max(np.abs(xfs[:, :XV] - rows1[:, :XV]), axis=1)
 
 
 def _deboor_error_weight(sch, cs):
@@ -131,55 +142,32 @@ def _deboor_errors(phase):
     (deg+1)-th derivative; error_k = |d^(deg+1)x| * h_k^(deg+1) * C.
 
     Vectorized: one Vandermonde solve in local sigma-space serves every
-    segment."""
+    segment; the node tangents come from one vmapped RHS call
+    (_segment_coefs).  BlockConstant: the traj rows already carry the
+    block control after collectSolverOutput (reference
+    ODEPhase.h:533-546)."""
     sch = phase._scheme
     cs = phase._cs
-    XV = phase.XV
     deg = 2 * cs - 1
     import math
-    T = phase.tf - phase.t0
-    traj = phase._traj
     S = phase.numSegs
-
-    # node derivatives f_i (BlockConstant: last node evaluated with the
-    # segment's block control, reference ODEPhase.h:533-546 — the traj rows
-    # already carry the block control after collectSolverOutput)
-    rows = np.concatenate(
-        [traj, np.tile(phase._odeparams, (traj.shape[0], 1))], axis=1)
-    import jax
-    fs_all = np.asarray(jax.vmap(phase.ode.vf().trace)(rows))[:, :XV]
-
-    # local Hermite: p(sig) matches (x_j, h f_j) at cardinal taus
-    A = np.zeros((2 * cs, deg + 1))
-    for j, tc in enumerate(sch.cardinal_tau):
-        A[j] = tc ** np.arange(deg + 1)
-        r = np.zeros(deg + 1)
-        r[1:] = np.arange(1, deg + 1) * tc ** np.arange(deg)
-        A[cs + j] = r
-    Ainv = np.linalg.inv(A)
-
-    hs = np.diff(phase.seg_bounds) * T                       # (S,)
-    xs = traj[phase.seg_nodes, :XV]                          # (S, cs, XV)
-    fs = fs_all[phase.seg_nodes]                             # (S, cs, XV)
-    rhs = np.concatenate([xs, hs[:, None, None] * fs], axis=1)
-    coef = np.einsum("ij,sjx->six", Ainv, rhs)               # (S,deg+1,XV)
+    coef, hs, _ = _segment_coefs(phase)
     # deg-th time derivative estimate on each segment
     y = coef[:, deg, :] * math.factorial(deg) / \
         np.abs(hs[:, None]) ** deg                           # (S, XV)
 
-    errs = np.zeros(S)
     EW = _deboor_error_weight(sch, cs)
-    for k in range(S):
-        if 0 < k < S - 1:
-            e = np.abs((y[k] - y[k - 1]) / (hs[k] + hs[k - 1])) \
-                + np.abs((y[k + 1] - y[k]) / (hs[k] + hs[k + 1]))
-        elif k == 0:
-            e = np.abs(2 * (y[1] - y[0]) / (hs[0] + hs[1])) if S > 1 \
-                else np.abs(y[0])
-        else:
-            e = np.abs(2 * (y[k] - y[k - 1]) / (hs[k] + hs[k - 1]))
-        errs[k] = float(np.max(e)) * np.abs(hs[k]) ** (deg + 1) * EW
-    return errs
+    if S == 1:
+        return np.array([np.max(np.abs(y[0]))
+                         * np.abs(hs[0]) ** (deg + 1) * EW])
+    # derivative jumps across interior boundaries -> (deg+1)-th derivative
+    d = np.abs(np.diff(y, axis=0)) / (hs[:-1] + hs[1:])[:, None]
+    e = np.zeros_like(y)
+    e[1:] += d
+    e[:-1] += d
+    e[0] *= 2.0
+    e[-1] *= 2.0
+    return e.max(axis=1) * np.abs(hs) ** (deg + 1) * EW
 
 
 def detect_switches(phase, jump_tol=0.1):

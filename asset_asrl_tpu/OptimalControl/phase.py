@@ -1430,30 +1430,38 @@ class Phase:
 
     def returnCostateTraj(self):
         """Costate estimate from defect multipliers (reference
-        `ODEPhaseBase.cpp:432`): lambda at node ~ defect multiplier scaled by
-        the quadrature weight x segment width."""
+        `ODEPhaseBase.cpp:432-471`): the defect rows already carry the
+        w_i*h quadrature scaling, so the RAW multiplier of interior
+        collocation point i IS the costate psi(t_i); the samples at the
+        interior times are then linearly interpolated (extrapolated at the
+        phase ends) onto the cardinal node times, exactly like the
+        reference's InteriorSpacings-based mapping."""
         lam = self.optimizer.LastEqLmults
         if lam is None:
             raise RuntimeError("no multipliers: solve first")
         cs = self._cs
-        ndef = (cs - 1) * self.XV if self.TranscriptionMode != "Trapezoidal" \
-            else self.XV
-        lam_def = lam[:self.numSegs * ndef].reshape(
-            self.numSegs, cs - 1, self.XV)
-        sch = self._scheme
+        trap = self.TranscriptionMode == "Trapezoidal"
+        nI = 1 if trap else cs - 1
+        ndef = nI * self.XV
+        S = self.numSegs
+        lam_def = lam[:S * ndef].reshape(S, nI, self.XV)
         T = self.tf - self.t0
-        costates = np.zeros((self.numNodes, self.XV))
-        counts = np.zeros(self.numNodes)
-        for k in range(self.numSegs):
-            h = (self.seg_bounds[k + 1] - self.seg_bounds[k]) * T
-            for i in range(cs - 1):
-                w = sch.int_def[i] * h
-                # attribute to nearest cardinal node of the interior point
-                node = self.seg_nodes[k][i if i < cs - 1 else -1]
-                costates[node] += lam_def[k, i] / max(w, 1e-300)
-                counts[node] += 1
-        counts[counts == 0] = 1
-        costates /= counts[:, None]
+        # interior collocation times per segment (trapezoidal: midpoint)
+        itau = np.array([0.5]) if trap else \
+            np.asarray(self._scheme.interior_tau)
+        a = self.seg_bounds[:-1][:, None]
+        dtau = np.diff(self.seg_bounds)[:, None]
+        tI = self.t0 + (a + itau[None, :] * dtau) * T        # (S, nI)
+        pts_t = tI.ravel()
+        pts_l = lam_def.reshape(S * nI, self.XV)
         ts = self.t0 + self.taus * T
-        return [np.concatenate([costates[i], [ts[i]]])
+        if len(pts_t) == 1:
+            cost = np.broadcast_to(pts_l, (self.numNodes, self.XV)).copy()
+        else:
+            i1 = np.clip(np.searchsorted(pts_t, ts), 1, len(pts_t) - 1)
+            i0 = i1 - 1
+            w = ((ts - pts_t[i0])
+                 / (pts_t[i1] - pts_t[i0]))[:, None]
+            cost = pts_l[i0] + w * (pts_l[i1] - pts_l[i0])
+        return [np.concatenate([cost[i], [ts[i]]])
                 for i in range(self.numNodes)]

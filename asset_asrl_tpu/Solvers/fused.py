@@ -24,6 +24,8 @@ point for TPU, where each dispatch otherwise costs a tunnel round trip.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -163,12 +165,18 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
         # achievable KKT residual near dH * |dx|).  Without blocks64 the
         # probe stays floored at deltaH.
         can_verify = "blocks64" in fac_shapes \
-            and jax.default_backend() == "tpu"
-        import os
+            and jax.default_backend() == "tpu" \
+            and hasattr(kkt, "_rq_blk") \
+            and os.environ.get("ASSET_PROBE0", "0") == "1"
         qtol = float(os.environ.get("ASSET_PROBE_QTOL", 1e-2))
         if can_verify:
             rq_blk = jnp.asarray(getattr(kkt, "_rq_blk"))
             rq_brd = jnp.asarray(getattr(kkt, "_rq_brd"))
+        # Default TPU path: probe floored at deltaH (delta=0 elimination
+        # untrustworthy, see kkt_block.factor_quality) and the delta bias
+        # removed from the STEP by zero-target refinement instead
+        # (kkt_block._zt_solve).  ASSET_PROBE0=1 selects the verified
+        # delta=0 probe (one extra solve+matvec per probe).
         probe_d = 0.0 if (can_verify
                           or jax.default_backend() != "tpu") else deltaH
         d0 = jnp.where(zfac, probe_d, Hpert0)
@@ -310,6 +318,18 @@ def build_fused_alg(kkt: BlockKKT, opts: dict, mode: str, parts=False):
                  & (it > 6) & (((it * 3) % 4) != 0) & cycling)
         fac, neigs, dused, nfacs = factor_ladder(blocks, Hpert0,
                                                  first_pert, zfac)
+        # arm zero-target refinement (kkt_block._zt_solve): near
+        # convergence, with the first factorization accepted (no ladder
+        # climb — climbing means the inertia genuinely demanded the
+        # perturbation, and the delta-biased step is the intended one)
+        if (not soe) and jax.default_backend() == "tpu" \
+                and hasattr(kkt, "_zt_mask_blk") \
+                and os.environ.get("ASSET_ZERO_TARGET", "1") == "1":
+            zt_k = float(os.environ.get("ASSET_ZT_KKT", 1e-3))
+            kkt_pre = jnp.max(jnp.abs(rd), initial=0.0)
+            ec_pre = jnp.max(jnp.abs(cE), initial=0.0)
+            zt = (kkt_pre < zt_k) & (ec_pre < zt_k) & (nfacs == 0)
+            fac = dict(fac, zero_target=zt)
         pert_used = dused > 0
         Hpert0 = jnp.where(pert_used,
                            jnp.maximum(deltaH, dused * decrH), Hpert0)

@@ -1514,6 +1514,13 @@ class BlockKKT:
         for r, sl in bs.border_row_slot.items():
             csign[sl * b + sl] = -1.0
         self._c_sign = csign.reshape(b, b)
+        # +delta diagonal positions as per-unknown masks, used by the
+        # zero-target solve refinement (K_0 v = K_delta v - delta*mask*v)
+        self._zt_mask_blk = np.ascontiguousarray(
+            np.diagonal(self._diag_sign, axis1=1, axis2=2) > 0
+        ).astype(np.float64)
+        self._zt_mask_brd = (np.diagonal(self._c_sign) > 0).astype(
+            np.float64)
 
         self._jit_factor = jax.jit(self._factor_impl)
         self._jit_solve = jax.jit(self._solve_impl)
@@ -1836,7 +1843,9 @@ class BlockKKT:
     def _factor_blocks_impl(self, blocks, delta, gammaE):
         """Regularize + factor pre-assembled blocks (the ladder's refactor
         path: reference evaluates KKT once per iteration and only refactors,
-        `PSIOPT.cpp:422`)."""
+        `PSIOPT.cpp:422`).  The returned factor records `delta_used` so the
+        solve can refine the step toward the UNPERTURBED system (see
+        _solve_impl zero-target refinement)."""
         diag, lower, B, C = blocks
         diag = diag + jnp.where(
             self._diag_sign > 0, delta,
@@ -1867,6 +1876,7 @@ class BlockKKT:
         else:
             fac, neigs = bcr_factor(diag, lower, B, C, self.nlevels,
                                     fdtype=fdtype)
+        fac["delta_used"] = jnp.asarray(delta, DEFAULT_DTYPE)
         return fac, neigs
 
     def _factor_impl(self, x, lamE, lamI, sigma, sig_tilde, delta, gammaE,
@@ -1914,6 +1924,8 @@ class BlockKKT:
             # f32 factorization: FGMRES refinement on the equilibrated
             # system (the f32 factor's contraction ratio can approach 1)
             y, z = bcr_refined_solve(fac, rblk, rbrd, self.nlevels)
+        elif fac.get("zero_target") is not None:
+            y, z = self._zt_solve(fac, rblk, rbrd, fac["zero_target"])
         else:
             # dd-f64 factorization (Ruiz-scaled on TPU): cheap Richardson
             # refinement recovers the recursion's lost digits
@@ -1922,6 +1934,77 @@ class BlockKKT:
         flat = jnp.concatenate([y.reshape(-1), z])
         sol = flat[self._perm]
         return sol[:bs.n], sol[bs.n:]
+
+    def _zt_solve(self, fac, rblk, rbrd, zt):
+        """Zero-target step refinement.
+
+        The inertia ladder's deltaH probe floor means every accepted TPU
+        factorization is of K_delta = K_0 + delta*D (the dd-f64 unpivoted
+        elimination cannot be trusted at delta=0, `factor_quality`), and
+        the delta-biased Newton step caps the achievable KKT residual near
+        delta*|dx| — the measured 1.5e-5 stall at 10k nodes.  Fix: keep
+        factoring at the SAFE delta, but Richardson-refine the step
+        against the UNPERTURBED target  K_0 v = K_delta v - delta*mask*v
+        when the iterate is near convergence (zt true):
+
+            dx <- dx + M_delta^{-1} (r - K_0 dx)
+
+        contracts with ratio ~ delta * ||K_0^{-1}||_scaled (tiny near a
+        regular solution) and removes the perturbation bias without ever
+        eliminating at delta=0.  A best-residual guard keeps the plain
+        preconditioner solve whenever K_0 is too close to singular for
+        the refinement to contract (early / nonconvex iterations).  When
+        zt is false this is plain delta-target Richardson.
+        """
+        matvec = _block_matvec(fac["blocks64"])
+        scale = fac.get("scale")
+        mblk = jnp.asarray(self._zt_mask_blk)
+        mbrd = jnp.asarray(self._zt_mask_brd)
+        extra = jnp.where(zt, fac["delta_used"], 0.0)
+
+        def precond(ry, rz):
+            if scale is None:
+                return bcr_solve(fac, ry, rz, self.nlevels)
+            sK, sb = scale
+            dy, dz = bcr_solve(fac, sK * ry, sb * rz, self.nlevels)
+            return sK * dy, sb * dz
+
+        def tmv(yy, zz):
+            Ay, Az = matvec(yy, zz)
+            return Ay - extra * mblk * yy, Az - extra * mbrd * zz
+
+        def norm2(ry, rz):
+            return jnp.sum(ry * ry) + jnp.sum(rz * rz)
+
+        import os
+        zsteps = int(os.environ.get("ASSET_ZT_STEPS", 2))
+        nsteps = jnp.where(zt, zsteps, _refine_steps())
+
+        y, z = precond(rblk, rbrd)
+        Ay, Az = tmv(y, z)
+        ry, rz = rblk - Ay, rbrd - Az
+        n0 = norm2(ry, rz)
+
+        def cond(c):
+            return c[0] < nsteps
+
+        def body(c):
+            k, y, z, ry, rz, by, bz, bn = c
+            dy, dz = precond(ry, rz)
+            y2 = y + dy
+            z2 = z + dz
+            Ay, Az = tmv(y2, z2)
+            ry2, rz2 = rblk - Ay, rbrd - Az
+            n = norm2(ry2, rz2)
+            better = n < bn
+            by = jnp.where(better, y2, by)
+            bz = jnp.where(better, z2, bz)
+            bn = jnp.where(better, n, bn)
+            return (k + 1, y2, z2, ry2, rz2, by, bz, bn)
+
+        init = (jnp.zeros((), jnp.int32), y, z, ry, rz, y, z, n0)
+        out = jax.lax.while_loop(cond, body, init)
+        return out[5], out[6]
 
     def solve(self, fac, rhs_x, rhs_E):
         return self._jit_solve(fac, rhs_x, rhs_E)

@@ -281,6 +281,63 @@ class PSIOPT:
         return x, s, lamE, lamI
 
     # ------------------------------------------------------------ public API
+    def init(self, x):
+        """Reference AlgorithmModes::INIT pass (`src/Solvers/PSIOPT.h:29`,
+        init_impl `PSIOPT.cpp:728-807`): slack + iq-multiplier
+        initialization and a first-order (unit-primal-diagonal, zero
+        Hessian) least-squares estimate of the equality multipliers,
+        stored for warm-starting the next solve/optimize call.  Returns
+        (x, s, lamE, lamI) as numpy arrays."""
+        self.nlp.freeze()
+        if self.kkt is None:
+            from .kkt_dense import DenseKKT
+            self.kkt = DenseKKT(self.nlp)
+        x, s, lamE, lamI = self._init_state(np.asarray(x, np.float64),
+                                            self.initMu)
+        mE, mI = self.nlp.numEq, self.nlp.numIq
+        from .kkt_block import BlockKKT
+        if mE > 0 and isinstance(self.kkt, BlockKKT):
+            kkt = self.kkt
+            jit = getattr(kkt, "_jit_init_lsq", None)
+            if jit is None:
+                sigma = float(self.ObjScale)
+                gE = float(self.gammaE)
+
+                def impl(x, consts):
+                    zE = jnp.zeros((mE,), DEFAULT_DTYPE)
+                    zI = jnp.zeros((mI,), DEFAULT_DTYPE)
+                    _, _, _, rd0, fam0 = kkt._eval_core(
+                        x, zE, zI, sigma, consts, want_hess="zeros")
+                    st1 = jnp.ones((mI,), DEFAULT_DTYPE)
+                    blocks0 = kkt._blocks_impl(fam0, st1)
+                    fac0, _ = kkt._factor_blocks_impl(
+                        blocks0, jnp.asarray(1.0), jnp.asarray(gE))
+                    _, lamE0 = kkt._solve_impl(fac0, -rd0, zE)
+                    return lamE0
+
+                jit = jax.jit(impl)
+                kkt._jit_init_lsq = jit
+            lamE0 = np.asarray(jit(x, self.nlp.consts_dev()))
+            if np.isfinite(lamE0).all():
+                lamE = jnp.asarray(lamE0)
+        elif mE > 0:
+            # dense path: factor at unit perturbation, first-order rhs
+            _, gradf, cE, cI, rd = self.kkt.eval_resid(
+                x, jnp.zeros((mE,)), jnp.zeros((mI,)), self.ObjScale)
+            st1 = jnp.ones((mI,), DEFAULT_DTYPE)
+            fac, _ = self.kkt.factor(x, jnp.zeros((mE,)),
+                                     jnp.zeros((mI,)), self.ObjScale,
+                                     st1, 1.0, self.gammaE)
+            _, lamE0 = self.kkt.solve(fac, -rd, jnp.zeros((mE,)))
+            lamE0 = np.asarray(lamE0)
+            if np.isfinite(lamE0).all():
+                lamE = jnp.asarray(lamE0)
+        self.LastEqLmults = np.asarray(lamE)
+        self.LastIqLmults = np.asarray(lamI)
+        self.LastSlacks = np.asarray(s)
+        return (np.asarray(x), np.asarray(s), np.asarray(lamE),
+                np.asarray(lamI))
+
     def solve(self, x):
         return self._run(x, [("SOE",)])
 

@@ -10,7 +10,8 @@ from .ops import (sin, cos, tan, arcsin, arccos, arctan, arctan2,
                   sinh, cosh, tanh, sqrt, cbrt, exp, log, log10,
                   abs, sign, squared, cubed, inverse,
                   sum, SumElems, dot, cross, normalize, ifelse,
-                  min, max, quatProduct, quatRotate)
+                  min, max, quatProduct, quatRotate,
+                  Scaled, RowScaled, IOScaled)
 from .matrix import MatrixFunction, RowMatrix, ColMatrix
 from .pyfunc import PyVectorFunction, PyScalarFunction
 

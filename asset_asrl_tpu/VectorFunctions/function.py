@@ -51,13 +51,25 @@ def _is_numericlike(v):
 # input object during one root trace turns the tree back into the DAG the
 # user wrote.  The cache lives only for the duration of the outermost node
 # call (depth counter), so no jax tracers leak across traces; cached values
-# keep their input alive, so id() reuse cannot alias keys.
-_TRACE_STATE = {"depth": 0, "cache": None}
+# keep their input alive, so id() reuse cannot alias keys.  THREAD-LOCAL:
+# Jet ensembles trace problems concurrently from a thread pool (reference
+# `Jet.h:92-151`), so a shared depth/cache would corrupt across threads.
+import threading as _threading
+
+_TRACE_TLS = _threading.local()
+
+
+def _trace_state():
+    st = getattr(_TRACE_TLS, "state", None)
+    if st is None:
+        st = {"depth": 0, "cache": None}
+        _TRACE_TLS.state = st
+    return st
 
 
 def _memoized(node, raw):
     def wrapped(x):
-        st = _TRACE_STATE
+        st = _trace_state()
         root = st["depth"] == 0
         if root:
             st["cache"] = {}

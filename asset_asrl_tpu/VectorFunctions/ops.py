@@ -190,3 +190,52 @@ def quatRotate(q, v):
         return vv + qw * t + jnp.cross(qv, t)
 
     return VectorFunction(impl, q.IRows(), 3, name="quatRotate")
+
+
+def Scaled(func, value):
+    """Scalar multiple of a function: value * f(x) (reference
+    `src/VectorFunctions/CommonFunctions/Scaled.h:49` Scaled/StaticScaled,
+    bound as the user-facing unit-scaling wrapper)."""
+    from .function import as_function, VectorFunction
+    func = as_function(func)
+    value = float(value)
+    fn = func._fn
+    return VectorFunction(lambda x: value * jnp.atleast_1d(fn(x)),
+                          func.IRows(), func.ORows(), name="Scaled")
+
+
+def RowScaled(func, row_scales):
+    """Per-output-row scaling: diag(row_scales) @ f(x) (reference
+    `Scaled.h` RowScaled)."""
+    from .function import as_function, VectorFunction
+    func = as_function(func)
+    rs = np.asarray(row_scales, np.float64).ravel()
+    if rs.shape[0] != func.ORows():
+        raise ValueError(
+            f"RowScaled: {rs.shape[0]} scales for {func.ORows()} outputs")
+    fn = func._fn
+    return VectorFunction(lambda x: rs * jnp.atleast_1d(fn(x)),
+                          func.IRows(), func.ORows(), name="RowScaled")
+
+
+def IOScaled(func, input_scales, output_scales):
+    """Unit-scaling wrapper g(x) = out_scales * f(in_scales * x)
+    (reference `src/VectorFunctions/CommonFunctions/IOScaled.h`, applied
+    to ODEs by auto-scaling at `src/OptimalControl/ODEPhase.h:104`).
+    Lets a user express a function in canonical units while the solver
+    works in scaled variables."""
+    from .function import as_function, VectorFunction
+    func = as_function(func)
+    ins = np.asarray(input_scales, np.float64).ravel()
+    outs = np.asarray(output_scales, np.float64).ravel()
+    if ins.shape[0] != func.IRows():
+        raise ValueError(
+            f"IOScaled: {ins.shape[0]} input scales for {func.IRows()} "
+            "inputs")
+    if outs.shape[0] != func.ORows():
+        raise ValueError(
+            f"IOScaled: {outs.shape[0]} output scales for {func.ORows()} "
+            "outputs")
+    fn = func._fn
+    return VectorFunction(lambda x: outs * jnp.atleast_1d(fn(ins * x)),
+                          func.IRows(), func.ORows(), name="IOScaled")

@@ -24,33 +24,43 @@ class ODE(oc.ODEBase):
             super().__init__(u * u + x * u + 1.25 * x ** 2)
 
 
-if __name__ == "__main__":
+def run(nsegs=20, print_level=1):
+    """Solve and compare against the closed-form control/costate; returns
+    (flag, max |U - U*|, max |L - L*|, phase)."""
     ode = ODE()
     x0, t0, tf, u0 = 1.0, 0.0, 1.0, 0.0
-    nsegs = 20
 
     TrajIG = [[x0, t, u0] for t in np.linspace(t0, tf, 100)]
     phase = ode.phase("LGL5", TrajIG, nsegs)
     phase.addBoundaryValue("Front", [0, 1], [x0, t0])
     phase.addBoundaryValue("Back", [1], [tf])
     phase.addIntegralObjective(ODE.obj(), [0, 2])
-    phase.optimizer.PrintLevel = 1
-    phase.optimize()
+    phase.optimizer.PrintLevel = print_level
+    flag = phase.optimize()
 
-    Traj = phase.returnTraj()
-    CTraj = phase.returnCostateTraj()
-
-    T = np.array(Traj).T
-    CT = np.array(CTraj).T
+    T = np.array(phase.returnTraj()).T
+    CT = np.array(phase.returnCostateTraj()).T
     t = T[1]
     U = T[2]
     L = CT[0]
     # analytic costates / control
     Lstar = 2 * np.cosh(1 - t) * np.tanh(1 - t) / np.cosh(1)
     Ustar = -(np.tanh(1 - t) + .5) * np.cosh(1 - t) / np.cosh(1)
+    uerr = float(np.abs(U - Ustar).max())
+    lerr = float(np.abs(L - Lstar[:len(L)]).max())
+    return flag, uerr, lerr, phase
 
-    print("max |U - U*| =", np.abs(U - Ustar).max())
-    print("max |L - L*| =", np.abs(L - Lstar[:len(L)]).max())
+
+if __name__ == "__main__":
+    flag, uerr, lerr, phase = run()
+    T = np.array(phase.returnTraj()).T
+    CT = np.array(phase.returnCostateTraj()).T
+    t, U, L = T[1], T[2], CT[0]
+    Lstar = 2 * np.cosh(1 - t) * np.tanh(1 - t) / np.cosh(1)
+    Ustar = -(np.tanh(1 - t) + .5) * np.cosh(1 - t) / np.cosh(1)
+
+    print("max |U - U*| =", uerr)
+    print("max |L - L*| =", lerr)
 
     try:
         import matplotlib.pyplot as plt

@@ -28,7 +28,8 @@ def ObstacleConstraint(xobs, yobs, obsrad, m):
     return 1.0 - ellips
 
 
-if __name__ == "__main__":
+def run(nsegs=128, print_level=1):
+    """Returns (flag, transit time, phase)."""
     obsrad, m = 5, 2.5
     xobs, yobs = 0, 50
     la, lb = 1.58, 1.72
@@ -48,7 +49,7 @@ if __name__ == "__main__":
         TrajIG.append(X)
 
     ode = BikeODE(la, lb)
-    phase = ode.phase("LGL3", TrajIG, 128)
+    phase = ode.phase("LGL3", TrajIG, nsegs)
     phase.addBoundaryValue("Front", [0, 1, 2, 3, 4], [x0, y0, psi0, v0, t0])
     phase.addLUVarBound("Path", 3, vlbound, vubound)
     phase.addLUVarBound("Path", 5, -accbound, accbound)
@@ -58,11 +59,15 @@ if __name__ == "__main__":
     phase.addBoundaryValue("Back", [0, 1], [xf, yf])
     phase.addDeltaTimeObjective(1.0)
     phase.optimizer.set_tols(1.0e-9, 1.0e-9, 1.0e-9)
-    phase.optimizer.PrintLevel = 1
-    phase.optimize()
+    phase.optimizer.PrintLevel = print_level
+    flag = phase.optimize()
+    return flag, phase.returnTraj()[-1][4], phase
 
+
+if __name__ == "__main__":
+    flag, tt, phase = run()
     TrajF = phase.returnTraj()
-    print("transit time (s):", TrajF[-1][4])
+    print("transit time (s):", tt)
 
     try:
         import matplotlib.pyplot as plt

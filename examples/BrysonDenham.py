@@ -18,25 +18,30 @@ class Model(oc.ODEBase):
         super().__init__(vf.stack([v, u]), 2, 1)
 
 
-if __name__ == "__main__":
+def run(nsegs=32, print_level=1):
+    """Returns (flag, objective, phase); analytic optimum 4/(9*l)/... = 4
+    for the l = 1/9 state bound."""
     n = 100
     ts = np.linspace(0, 1, n)
     vs = np.linspace(1, -1, n)
     IG = [[.0, v, t, 0] for t, v in zip(ts, vs)]
 
     ode = Model()
-    phase = ode.phase("LGL5", IG, 32)
+    phase = ode.phase("LGL5", IG, nsegs)
     phase.addBoundaryValue("Front", range(0, 3), [0, 1, 0])
     phase.addUpperVarBound("Path", 0, 1 / 9)
     phase.addIntegralObjective((Args(1)[0] ** 2) / 2, [3])
     phase.addBoundaryValue("Back", range(0, 3), [0, -1, 1])
     phase.optimizer.set_OptLSMode("L1")
     phase.optimizer.set_KKTtol(1.0e-10)
-    phase.optimizer.set_PrintLevel(1)
-    phase.optimize()
+    phase.optimizer.set_PrintLevel(print_level)
+    flag = phase.optimize()
+    return flag, phase.optimizer.LastObjVal, phase
 
-    print("objective:", phase.optimizer.LastObjVal,
-          "(analytic 4/(9*l) with l=1/9 -> 4)")
+
+if __name__ == "__main__":
+    flag, obj, phase = run()
+    print("objective:", obj, "(analytic 4/(9*l) with l=1/9 -> 4)")
 
     try:
         import matplotlib.pyplot as plt

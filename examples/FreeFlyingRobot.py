@@ -24,7 +24,9 @@ class FreeFlyingRobotODE(oc.ODEBase):
         super().__init__(ode, 6, 4)
 
 
-if __name__ == "__main__":
+def run(nsegs=128, print_level=1):
+    """Returns (flag, fuel objective, phase); arXiv:1905.11898 reports
+    J* ~= 7.910 for this alpha = beta = 0.2 configuration."""
     ode = FreeFlyingRobotODE(.2, .2)
     t0, tf = 0, 12
     X0 = np.array([-10, -10, 0, 0, np.pi / 2.0, 0, 0])
@@ -37,19 +39,23 @@ if __name__ == "__main__":
         T[7:11] = .5
         IG.append(T)
 
-    phase = ode.phase("LGL5", IG, 128)
+    phase = ode.phase("LGL5", IG, nsegs)
     phase.addBoundaryValue("Front", range(0, 7), X0)
     phase.addBoundaryValue("Back", range(0, 7), XF)
     phase.addLUVarBounds("Path", range(7, 11), 0.0, 1.0, 1)
     phase.addIntegralObjective(Args(4).sum(), range(7, 11))
-    phase.optimizer.set_PrintLevel(1)
+    phase.optimizer.set_PrintLevel(print_level)
     phase.optimizer.set_OptLSMode("L1")
     phase.optimizer.set_MaxLSIters(2)
     phase.optimizer.set_tols(1.0e-9, 1.0e-9, 1.0e-9)
-    phase.optimize()
+    flag = phase.optimize()
+    return flag, phase.optimizer.LastObjVal, phase
 
+
+if __name__ == "__main__":
+    flag, obj, phase = run()
     Traj = phase.returnTraj()
-    print("fuel objective:", phase.optimizer.LastObjVal)
+    print("fuel objective:", obj)
 
     try:
         import matplotlib.pyplot as plt

@@ -55,11 +55,17 @@ def Job(a, b, n, L):
     return phase
 
 
-if __name__ == "__main__":
-    a, b, n = 1, 3, 100
-    Ls = np.linspace(2.25, 8, 8)
+def run(a=1, b=3, n=100, Ls=None, nthreads=8):
+    """Sweep chain length L with a Jet ensemble; returns the solved
+    phases (reference `Jet.map`, `src/Solvers/Jet.h:92-151`)."""
+    if Ls is None:
+        Ls = np.linspace(2.25, 8, 8)
     JArgs = [(a, b, n, L) for L in Ls]
-    Res = solvs.Jet.map(Job, JArgs, 16, True)
+    return solvs.Jet.map(Job, JArgs, nthreads, True)
+
+
+if __name__ == "__main__":
+    Res = run()
 
     try:
         import matplotlib.pyplot as plt

@@ -20,14 +20,15 @@ class MountainCar(oc.ODEBase):
         super().__init__(vf.stack([xdot, vdot]), 2, 1)
 
 
-if __name__ == "__main__":
+def run(nsegs=128, print_level=1):
+    """Returns (flag, escape time, phase); dymos reference ~103."""
     ode = MountainCar()
     x0, v0, xf, tf = -.5, 0, .52, 500
 
     IG = [[x0 + (xf - x0) * t / tf, t / tf, t, np.sin(t / tf)]
           for t in np.linspace(0, tf, 100)]
 
-    phase = ode.phase("LGL3", IG, 128)
+    phase = ode.phase("LGL3", IG, nsegs)
     phase.addBoundaryValue("First", [0, 1, 2], [x0, v0, 0])
     phase.addBoundaryValue("Last", [0], [xf])
     phase.addLowerVarBound("Back", 1, 0.0, 1.0)
@@ -37,11 +38,15 @@ if __name__ == "__main__":
     phase.addDeltaTimeObjective(0.01)                  # scale to order 1
 
     phase.optimizer.set_OptLSMode("L1")
-    phase.optimizer.set_PrintLevel(1)
-    phase.solve_optimize()
+    phase.optimizer.set_PrintLevel(print_level)
+    flag = phase.solve_optimize()
+    return flag, phase.returnTraj()[-1][2], phase
 
+
+if __name__ == "__main__":
+    flag, t_escape, phase = run()
     Traj = phase.returnTraj()
-    print("escape time:", Traj[-1][2], "(dymos reference ~103)")
+    print("escape time:", t_escape, "(dymos reference ~103)")
 
     try:
         import matplotlib.pyplot as plt

@@ -42,26 +42,29 @@ def variableDirWind(xyt):
     return vel * vf.cos(ang), vel * vf.sin(ang)
 
 
-def navigate(A, B, vM=1, wF=uniformWind):
+def navigate(A, B, vM=1, wF=uniformWind, nseg=None, tols=None,
+             print_level=1):
+    nseg = nSeg if nseg is None else int(nseg)
+    tols = tol if tols is None else float(tols)
     dist = np.linalg.norm(B - A)
     t0 = dist / vM
     d = (B - A) / dist
     ang = np.arctan2(d[1], d[0])
     trajG = [np.array(list(A + d * x) + [t0 * x, ang])
-             for x in np.linspace(0, 1, num=nSeg)]
+             for x in np.linspace(0, 1, num=nseg)]
 
     phase = Zermelo(vM, wF).phase("LGL3")
-    phase.setTraj(trajG, nSeg)
+    phase.setTraj(trajG, nseg)
     phase.addBoundaryValue("Front", [0, 1], A)
     phase.addBoundaryValue("Front", [2], [0.0])
     phase.addBoundaryValue("Back", [0, 1], B)
     phase.addLUVarBound("Path", 3, -np.pi, np.pi, 1)
     phase.addDeltaTimeObjective(1.0)
-    phase.optimizer.set_EContol(tol)
-    phase.optimizer.set_KKTtol(tol)
-    phase.optimizer.PrintLevel = 1
-    phase.solve_optimize()
-    return phase.returnTraj()
+    phase.optimizer.set_EContol(tols)
+    phase.optimizer.set_KKTtol(tols)
+    phase.optimizer.PrintLevel = print_level
+    flag = phase.solve_optimize()
+    return phase.returnTraj(), flag
 
 
 if __name__ == "__main__":
@@ -69,10 +72,10 @@ if __name__ == "__main__":
     B = np.array([1, 1])
     vM = 1.25
 
-    t1 = navigate(A, B, vM=1, wF=noWind)
-    t2 = navigate(A, B, vM=vM, wF=lambda xyt: uniformWind(xyt, vel=0.5))
-    t3 = navigate(A, B, vM=vM, wF=constantDirWind)
-    t4 = navigate(A, B, vM=vM, wF=variableDirWind)
+    t1, _ = navigate(A, B, vM=1, wF=noWind)
+    t2, _ = navigate(A, B, vM=vM, wF=lambda xyt: uniformWind(xyt, vel=0.5))
+    t3, _ = navigate(A, B, vM=vM, wF=constantDirWind)
+    t4, _ = navigate(A, B, vM=vM, wF=variableDirWind)
 
     for i, t in enumerate([t1, t2, t3, t4]):
         print(f"wind model {i}: transfer time {t[-1][2]:.6f}")
