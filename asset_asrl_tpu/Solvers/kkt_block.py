@@ -624,20 +624,24 @@ def _inv_sym(D):
             Dinv, pivs = _inv_gj_pivots(D)
     tiny = 1e-25 if Dinv.dtype == jnp.float32 else 1e-250
     bad = ~jnp.isfinite(pivs) | (jnp.abs(pivs) < tiny)
-    # A pivot whose magnitude sits below the elimination's noise floor has
-    # a meaningless sign: TPU "f64" is double-double f32 emulation
-    # (effective per-op eps ~1e-14), so at the delta=0 probe a true tiny-
-    # negative pivot can compute as tiny-positive, the inertia check
-    # "passes", an indefinite factorization is accepted and the IPM walks
-    # in circles on non-descent directions (observed: nfacs=0 on every
-    # TPU iteration where CPU engages the ladder).  Count sub-noise-floor
-    # pivots as inertia failures so the perturbation ladder engages —
-    # Pardiso's near-zero-pivot perturbation count analog.
+    # Pivot-sign trust policy.  TPU "f64" is double-double f32 emulation;
+    # at delta=0 the unpivoted elimination of a genuinely indefinite
+    # matrix breaks down SILENTLY (sign count reads +0 while the solve
+    # residual is O(1)) — which is why the TPU probe is floored at deltaH
+    # and delta=0 is only ever used behind the explicit factor_quality
+    # verification (ASSET_PROBE0).  At delta >= deltaH the elimination is
+    # measured exact, and a RELATIVE sub-blockmax pivot threshold is
+    # actively harmful: the round-5 exact-inertia audit (host f64 block
+    # LDL^T at the converged 10k-node iterate) showed every rel=1e-12
+    # "failure" to be spurious — +88 flagged at delta=1e-5 vs a true
+    # excess of 0 — causing permanent ladder thrash, a ~1e-3 floor on the
+    # usable delta, and the late-IPM KKT oscillation.  Default: pure sign
+    # count (rel=0) for dd-f64, overridable via ASSET_PIVOT_REL.
     import os
     if D.dtype == jnp.float32:
         rel = float(os.environ.get("ASSET_PIVOT_REL_F32", 1e-5))
     elif jax.default_backend() == "tpu":
-        rel = float(os.environ.get("ASSET_PIVOT_REL", 1e-12))
+        rel = float(os.environ.get("ASSET_PIVOT_REL", 0.0))
     else:
         rel = float(os.environ.get("ASSET_PIVOT_REL_CPU", 0.0))
     if rel > 0.0:

@@ -156,6 +156,17 @@ class PSIOPT:
         # backends (one dispatch per solve); the host loop remains for the
         # dense backend and for debugging.
         self.UseFused = True
+        # The fused loop runs the whole solve in one (chunked) device
+        # program, so Func/KKT time cannot be read off the host clock per
+        # stage.  When True, each fused solve additionally times the
+        # separately-jitted stage pieces (family AD, assembly, factor,
+        # solve, value pass) at the final iterate and attributes the
+        # measured wall time to LastFuncTime/LastKKTTime by those measured
+        # fractions (reference timing surface `PSIOPT.h:399-413`); the raw
+        # per-stage ms land in LastStageTimes.  Default on for CPU, off on
+        # TPU (stage jits cost minutes of XLA compile through the tunnel).
+        self.MeasureStageTimes = None   # None = auto (cpu yes, tpu no)
+        self.LastStageTimes = None
         # "whole": one while_loop program per solve; "step": one jitted
         # iteration + host loop (for problems above the TPU toolchain's
         # program-size limit); "auto": step on TPU when K is large.
@@ -445,7 +456,27 @@ class PSIOPT:
                                      self.nlp.consts_dev())
         flag = int(flag)
         niters = int(niters)
-        self.LastKKTTime += time.perf_counter() - tq0
+        elapsed = time.perf_counter() - tq0
+        mst = self.MeasureStageTimes
+        if mst is None:
+            mst = jax.default_backend() != "tpu"
+        split_done = False
+        if mst:
+            try:
+                st = self.measure_stage_times(
+                    x, s, lamE, lamI, float(Mu),
+                    0.0 if mode in ("SOE", "OPTNO") else self.ObjScale)
+            except Exception:
+                st = None
+            if st:
+                func = st["func_ad"] + st["value_pass"]
+                kkt_t = st["assembly"] + st["factor"] + st["solve"]
+                tot = max(func + kkt_t, 1e-12)
+                self.LastFuncTime += elapsed * func / tot
+                self.LastKKTTime += elapsed * kkt_t / tot
+                split_done = True
+        if not split_done:
+            self.LastKKTTime += elapsed
         infos = np.asarray(infos[:max(niters, 1)])
         if self.ReturnBest and flag not in (ConvergenceFlags.CONVERGED,
                                             ConvergenceFlags.ACCEPTABLE):
@@ -468,6 +499,56 @@ class PSIOPT:
                   f"{len(infos)} iters: obj {r[0]:+.8e} kkt {r[1]:.2e} "
                   f"econ {r[2]:.2e} icon {r[3]:.2e} barr {r[4]:.2e}")
         return x, s, lamE, lamI, flag
+
+    def measure_stage_times(self, x, s, lamE, lamI, Mu, sigma):
+        """Per-stage ms of one IPM iteration's pipeline at the given
+        iterate, via the separately-jitted stage pieces (family AD +
+        residuals, block assembly, regularize+factor, solve, line-search
+        value pass).  Returns the dict (also stored in LastStageTimes)."""
+        from .kkt_block import BlockKKT
+        if not isinstance(self.kkt, BlockKKT):
+            return None
+        kkt = self.kkt
+        nlp = self.nlp
+        jits = getattr(kkt, "_stage_jits", None)
+        if jits is None:
+            jits = dict(ad=jax.jit(kkt._ad_impl),
+                        blocks=jax.jit(kkt._blocks_impl),
+                        factor_blocks=jax.jit(kkt._factor_blocks_impl),
+                        oc=jax.jit(nlp.eval_obj_cons_impl))
+            kkt._stage_jits = jits
+        consts = nlp.consts_dev()
+        x = jnp.asarray(x)
+        lamE = jnp.asarray(lamE)
+        lamI = jnp.asarray(lamI)
+        if nlp.numIq > 0:
+            s_ = jnp.maximum(jnp.asarray(s), 1e-300)
+            Sig = jnp.where(lamI / s_ < 0.0, Mu / (s_ * s_), lamI / s_)
+            sig_tilde = Sig / (1.0 + self.gammaI * Sig)
+        else:
+            sig_tilde = jnp.zeros((0,), DEFAULT_DTYPE)
+
+        def timed(fn, *a, reps=3):
+            out = jax.block_until_ready(fn(*a))    # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = jax.block_until_ready(fn(*a))
+            return (time.perf_counter() - t0) / reps, out
+
+        t_ad, adout = timed(jits["ad"], x, lamE, lamI,
+                            jnp.asarray(float(sigma)), consts)
+        t_blk, blocks = timed(jits["blocks"], adout[4], sig_tilde)
+        t_fac, facout = timed(jits["factor_blocks"], blocks,
+                              jnp.asarray(self.deltaH),
+                              jnp.asarray(self.gammaE))
+        zx = jnp.zeros((nlp.numPrimal,), DEFAULT_DTYPE)
+        zE = jnp.zeros((nlp.numEq,), DEFAULT_DTYPE)
+        t_slv, _ = timed(kkt._jit_solve, facout[0], zx, zE)
+        t_oc, _ = timed(jits["oc"], x, consts)
+        self.LastStageTimes = dict(
+            func_ad=t_ad, assembly=t_blk, factor=t_fac, solve=t_slv,
+            value_pass=t_oc)
+        return self.LastStageTimes
 
     def _store_spmat(self, x, s, lamE, lamI, Mu, sigma):
         """Assemble and stash the KKT blocks at the given iterate

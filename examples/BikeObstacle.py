@@ -65,6 +65,7 @@ def run(nsegs=128, print_level=1):
 
 
 if __name__ == "__main__":
+    obsrad, m, yobs = 5, 2.5, 50
     flag, tt, phase = run()
     TrajF = phase.returnTraj()
     print("transit time (s):", tt)

@@ -44,6 +44,110 @@ CASES = [
      "Dymos multi-phase cannonball: choose the ball radius maximizing "
      "range at fixed launch energy (named-variable interface).",
      "Dymos reference optimum: ~3.18 km range at ~4.2 cm radius."),
+    ("VanDerPol", "examples/VanDerPol.py",
+     "Van der Pol oscillator optimal control (dymos benchmark).",
+     "Dymos reference objective ~5.47 over tf=15."),
+    ("GoddardRocket", "examples/GoddardRocket.py",
+     "Goddard rocket maximum-altitude ascent with a singular thrust arc, "
+     "solved single-phase and as a 3-phase problem with an explicit "
+     "singular-arc path constraint.",
+     "Single- vs 3-phase final altitudes agree to < 0.3 ft "
+     "(`tests/test_fullproblems2.py`)."),
+    ("BrysonDenham", "examples/BrysonDenham.py",
+     "State-constrained double integrator (Bryson & Ho).",
+     "Analytic objective 4/(9*l) = 4 at l = 1/9; measured 4.00002 at "
+     "32 LGL5 segments (`tests/test_examples_more.py`)."),
+    ("AnalyticExample", "examples/AnalyticExample.py",
+     "LQR-like problem with closed-form control AND costates; validates "
+     "the covector mapping of `returnCostateTraj`.",
+     "max |U - U*| = 2.6e-4, max |costate - analytic| = 7e-3 at "
+     "20 LGL5 segments."),
+    ("MountainCar", "examples/MountainCar.py",
+     "Minimum-time mountain-car escape (dymos): the engine is too weak "
+     "to climb directly, so the optimal policy oscillates.",
+     "Dymos reference escape time ~103; measured 103.98 at 128 LGL3."),
+    ("FreeFlyingRobot", "examples/FreeFlyingRobot.py",
+     "Minimum-fuel planar free-flying robot slew with 4 one-sided "
+     "thrusters (arXiv:1905.11898).",
+     "Published J* ~= 7.910; measured 7.9147 at 128 LGL5."),
+    ("BikeObstacle", "examples/BikeObstacle.py",
+     "Minimum-time bicycle steering around a circular obstacle "
+     "(arXiv:2003.00142), elliptic-margin path inequality.",
+     "Measured transit 5.045 s at 128 LGL3 (straight-line lower bound "
+     "100/29 = 3.45 s)."),
+    ("Zermelo", "examples/Zermelo.py",
+     "Zermelo's navigation problem over four wind fields.",
+     "No-wind time equals straight-line distance/speed exactly "
+     "(`tests/test_examples_more.py`)."),
+    ("MultiPhaseZermelo", "examples/MultiPhaseZermelo.py",
+     "Waypoint navigation as linked phases with forward-link continuity.",
+     "Each leg's time is positive and the phases chain continuously."),
+    ("SimpleLowThrust", "examples/SimpleLowThrust.py",
+     "Planar circular orbit raising r=1 -> r=2 at a=0.02, time- and "
+     "mass-optimal, with costate plots.",
+     "Time-optimal tof ~= 18.27 canonical units (measured; "
+     "`tests/test_examples_fast.py`)."),
+    ("BettsLowThrust", "examples/BettsLowThrust.py",
+     "Betts' 10-6 low-thrust orbit transfer (Practical Methods 3rd ed.), "
+     "modified-equinoctial dynamics with J2.",
+     "Betts' published final weight 0.22018 lb (matched; "
+     "`tests/test_fullproblems2.py`)."),
+    ("MinimumTimeToClimb", "examples/MinimumTimeToClimb.py",
+     "Bryson's supersonic minimum time to climb (ICLOCS2 SI "
+     "reformulation) with smooth aero/thrust fits.",
+     "Published minimum climb time ~324 s; measured 321.7 s at "
+     "50 LGL5 segments."),
+    ("MinimumTimeToClimbTables", "examples/MinimumTimeToClimbTables.py",
+     "Same problem driven by tabulated aero/thrust data through "
+     "differentiable InterpTable1D/2D lookups.",
+     "Matches the smooth-fit climb time within the table resolution."),
+    ("TopputtoLowThrust", "examples/TopputtoLowThrust.py",
+     "Planar polar low-thrust raising r=1 -> r=4, time- then "
+     "fuel-optimal with terminal coast (Topputto & Zhang 2014).",
+     "Measured: time-optimal tof 55.55, fuel-optimal tof 115.8 with "
+     "terminal throttle at its floor."),
+    ("DionysusLowThrust", "examples/DionysusLowThrust.py",
+     "Mass-optimal Earth->Dionysus interplanetary low-thrust transfer "
+     "(Junkins & Taheri).",
+     "Published optimum ~2718 kg of the 4000 kg stack; measured "
+     "2715.93 kg at 150 LGL3 segments."),
+    ("OptimalDocking", "examples/OptimalDocking.py",
+     "Spacecraft docking with obstacle keep-out (Form 2).",
+     "Converges with docking time in the published 120-260 s band."),
+    ("ParallelParking", "examples/ParallelParking.py",
+     "Time-optimal parallel parking (Li/Wang/Chu 2016 case 7): two "
+     "linked phases with obstacle corner constraints.",
+     "Published maneuver time 18.426 s; ours within 1%."),
+    ("OrbitContinuation", "examples/OrbitContinuation.py",
+     "CR3BP L1 Lyapunov and Northern Halo periodic-orbit families by "
+     "pseudo-arclength-style continuation through subVariables (no "
+     "re-transcription between family members).",
+     "Periodicity residuals < 1e-8 along both families."),
+    ("Heteroclinic", "examples/Heteroclinic.py",
+     "Heteroclinic connection between L1/L2 Lyapunov orbits in the "
+     "Earth-Moon CR3BP via invariant-manifold seeding.",
+     "Connection closes with Jacobi-constant drift at integrator "
+     "tolerance."),
+    ("HangingChain", "examples/HangingChain.py",
+     "Catenary family: minimum potential energy at fixed chain length, "
+     "swept over lengths with a Jet ensemble.",
+     "Long chains sag below both anchors; length constraint holds via "
+     "an integral static-parameter function."),
+    ("MultiSpacecraftOptimization",
+     "examples/MultiSpacecraftOptimization.py",
+     "N-spacecraft rendezvous with shared link parameters across "
+     "phases (the scenario-ensemble flagship; scales to 512 craft "
+     "via `parallel.solve_ensemble`).",
+     "Reference `examples/MultiSpacecraftOptimization.py:69-121`."),
+    ("MeshRefinement-CartPole", "examples/MeshRefinement/CartPole.py",
+     "CartPole re-solved under adaptive mesh refinement.",
+     "Objective matches the fixed-mesh 58.832 at the mesh tolerance."),
+    ("MeshRefinement-HyperSensLong",
+     "examples/MeshRefinement/HyperSensLong.py",
+     "HyperSensitive with tf=10000: the boundary-layer stress test of "
+     "error-equidistributed refinement.",
+     "Reference `doc/examples/HyperSensitive.rst:121`: 8 mesh "
+     "iterations, 46 ms CPU."),
 ]
 
 
