@@ -133,6 +133,26 @@ def _run(nsegs):
     sys.stderr.write(
         f"flag={flag} iters={niters} obj={infos[-1][0]:.6f} "
         f"kkt={infos[-1][1]:.2e} econ={infos[-1][2]:.2e}\n")
+    # auxiliary metrics demanded by BASELINE.md: KKT-solve ms (one
+    # factor+solve at the converged iterate, the Pardiso-analog number)
+    # and time-to-converged-solution vs the reference's published full
+    # solve (12 iterations x per-node-scaled 2.33 ms/iter)
+    t0 = time.perf_counter()
+    import jax as _jax
+    fac, _ = kkt.factor(out[0], out[2], out[3], 1.0,
+                        jnp.ones((kkt.nlp.numIq,)), 1e-5, 1e-10)
+    _jax.block_until_ready(
+        kkt.solve(fac, jnp.zeros((kkt.nlp.numPrimal,)),
+                  jnp.zeros((kkt.nlp.numEq,))))
+    t0 = time.perf_counter()
+    fac, _ = kkt.factor(out[0], out[2], out[3], 1.0,
+                        jnp.ones((kkt.nlp.numIq,)), 1e-5, 1e-10)
+    _jax.block_until_ready(
+        kkt.solve(fac, jnp.zeros((kkt.nlp.numPrimal,)),
+                  jnp.zeros((kkt.nlp.numEq,))))
+    kkt_ms = 1000 * (time.perf_counter() - t0)
+    tts = dt / reps
+    base_tts = 12 * (2.33e-3 * (2 * nsegs + 1) / 129.0)
     print(json.dumps({
         "metric": f"IPM iterations/s at {2 * nsegs + 1} collocation nodes "
                   "(CartPole LGL5, full PSIOPT loop; baseline scaled "
@@ -140,6 +160,12 @@ def _run(nsegs):
         "value": round(iters_per_s, 3),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
+        "flag": flag,
+        "iters": niters,
+        "kkt_factor_solve_ms": round(kkt_ms, 1),
+        "time_to_solution_s": round(tts, 3),
+        "baseline_time_to_solution_s": round(base_tts, 3),
+        "vs_baseline_time_to_solution": round(base_tts / tts, 2),
     }))
 
 

@@ -86,9 +86,11 @@ def navigate(Points, vM=1, wF=uniformWind, print_level=2):
 if __name__ == "__main__":
     Points = [np.array(p) for p in
               [[0, 0], [2, 1], [3, 3], [1, 4]]]
+    # boat speed must exceed the uniform wind's 2.0 for the waypoint
+    # problem to be well-posed (the boat cannot hold a line otherwise)
     for name, wf in [("uniform", uniformWind),
                      ("constantDir", constantDirWind),
                      ("variableDir", variableDirWind)]:
-        traj, ocp = navigate(Points, vM=1.5, wF=wf, print_level=1)
+        traj, ocp = navigate(Points, vM=2.5, wF=wf, print_level=1)
         print(f"{name}: total time {traj[-1][2]:.6f} over "
               f"{len(ocp.Phases)} phases")

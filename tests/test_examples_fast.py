@@ -23,10 +23,20 @@ def test_simple_low_thrust():
 
 
 def test_multiphase_zermelo():
+    """Two linked legs under an adverse uniform wind: converged total
+    time 3.2356 (measured), waypoints hit, time chained continuously
+    (reference forward-link continuity,
+    `OptimalControlProblem.h:580-861`)."""
     from MultiPhaseZermelo import navigate, uniformWind
     Points = [np.array(p) for p in [[0, 0], [2, 1], [3, 3]]]
-    traj, ocp = navigate(Points, vM=1.5, wF=uniformWind, print_level=2)
-    assert traj[-1][2] > 0
+    traj, ocp = navigate(Points, vM=2.5, wF=uniformWind, print_level=2)
+    assert ocp.optimizer.ConvergeFlag == CONVERGED
+    assert abs(traj[-1][2] - 3.2356) < 0.05, traj[-1][2]
+    T0 = np.asarray(ocp.Phases[0].returnTraj())
+    T1 = np.asarray(ocp.Phases[1].returnTraj())
+    assert np.allclose(T0[-1, :2], [2, 1], atol=1e-6)
+    assert np.allclose(T1[-1, :2], [3, 3], atol=1e-6)
+    assert abs(T0[-1, 2] - T1[0, 2]) < 1e-6   # time continuity
 
 
 @pytest.mark.slow
