@@ -112,7 +112,10 @@ def main(n=4, nsweeps=3, print_level=2):
 
 
 if __name__ == "__main__":
-    Data = main(print_level=1)
+    import os
+    Data = main(n=int(os.environ.get("MSO_N", "4")),
+                nsweeps=int(os.environ.get("MSO_SWEEPS", "3")),
+                print_level=1)
     for j, D in enumerate(Data):
         print(f"sweep {j}: rendezvous time {D[1][6] / (2 * np.pi):.4f} rev")
 

@@ -70,8 +70,12 @@ def test_dionysus():
 
 @pytest.mark.slow
 def test_heteroclinic():
+    """CR3BP L1->L2 heteroclinic connection: at the example's full
+    manifold resolution the matched connection needs ~0.07 m/s of DV
+    (measured; nman=24 deterministically seeds a poor 1524 m/s pair,
+    so the full nman=40 set is required)."""
     from Heteroclinic import main
-    Traj1, Traj2, DV = main(nman=24, nsegs=40)
+    Traj1, Traj2, DV = main()
     assert DV < 10.0, DV
 
 

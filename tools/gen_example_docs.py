@@ -151,10 +151,18 @@ CASES = [
 ]
 
 
+_CASE_ENV = {
+    # one sweep of a 3-spacecraft stack keeps the docs run under the
+    # per-case timeout; the 512-craft ensembles are the parallel.py tests
+    "MultiSpacecraftOptimization": {"MSO_N": "3", "MSO_SWEEPS": "1"},
+}
+
+
 def run_case(name, script, desc, ref):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH",
                                                              ""))
+    env.update(_CASE_ENV.get(name, {}))
     t0 = time.perf_counter()
     # _cpu_run pins the CPU backend in-process (the axon plugin ignores
     # the JAX_PLATFORMS environment variable)
@@ -214,6 +222,8 @@ def main():
         if only and name not in only:
             continue
         rows.append(run_case(name, script, desc, ref))
+    if only:
+        return   # partial regeneration: keep the full index
     idx = ["# Worked examples (with measured timings)", "",
            "Each page runs the example end-to-end and records the",
            "printed results + wall time; regenerate with",
