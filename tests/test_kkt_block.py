@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from asset_asrl_tpu.Solvers.kkt_block import bcr_factor, bcr_solve
@@ -38,12 +39,15 @@ def make_block_tridiag(K, W, b, seed=0, spd=False):
 def test_bcr_solve_matches_dense(K, W, b):
     diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=K + W, spd=True)
     nlevels = max(1, int(np.ceil(np.log2(max(K, 2)))))
-    fac, neigs = bcr_factor(jnp.asarray(diag), jnp.asarray(lower),
-                            jnp.asarray(B), jnp.asarray(C), nlevels)
+    # jitted: eager dispatch routes through jaxlib's shipped AOT CPU
+    # kernels, which mis-execute on hosts whose CPU features differ from
+    # the wheel build (observed heap-corruption aborts)
+    fac, neigs = jax.jit(bcr_factor)(jnp.asarray(diag), jnp.asarray(lower),
+                                     jnp.asarray(B), jnp.asarray(C))
     rng = np.random.default_rng(1)
     r = rng.normal(size=(K, W))
     rb = rng.normal(size=(b,))
-    y, z = bcr_solve(fac, jnp.asarray(r), jnp.asarray(rb), nlevels)
+    y, z = jax.jit(bcr_solve)(fac, jnp.asarray(r), jnp.asarray(rb))
     sol = np.linalg.solve(A, np.concatenate([r.ravel(), rb]))
     got = np.concatenate([np.asarray(y).ravel(), np.asarray(z)])
     assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
@@ -57,8 +61,9 @@ def test_bcr_inertia(K, W, b):
         diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=seed,
                                                   spd=False)
         nlevels = max(1, int(np.ceil(np.log2(max(K, 2)))))
-        fac, neigs = bcr_factor(jnp.asarray(diag), jnp.asarray(lower),
-                                jnp.asarray(B), jnp.asarray(C), nlevels)
+        fac, neigs = jax.jit(bcr_factor)(
+            jnp.asarray(diag), jnp.asarray(lower),
+            jnp.asarray(B), jnp.asarray(C))
         w = np.linalg.eigvalsh(A)
         assert int(neigs) == int(np.sum(w < 0)), \
             f"seed {seed}: bcr {int(neigs)} vs dense {int(np.sum(w < 0))}"

@@ -13,6 +13,11 @@ from asset_asrl_tpu.Solvers.kkt_sharded import (pad_chain, sharded_factor,
                                                 sharded_solve)
 from tests.test_kkt_block import make_block_tridiag
 
+# All library calls below are jitted: eager op-by-op dispatch routes
+# through jaxlib's shipped AOT CPU kernels, which mis-execute on
+# hosts whose CPU features differ from the wheel build (observed heap
+# corruption aborts); jitted programs compile fresh for this host.
+
 
 def _mesh(d=8):
     devs = jax.devices()
@@ -31,13 +36,13 @@ def test_sharded_solve_matches_dense(K, W, b):
     diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=K + W, spd=True)
     dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
                                   jnp.asarray(B), jnp.asarray(C), 8)
-    fac, neigs = sharded_factor(dg, lo, Bp, Cp, mesh)
+    fac, neigs = jax.jit(lambda *a: sharded_factor(*a, mesh))(dg, lo, Bp, Cp)
     rng = np.random.default_rng(1)
     r = rng.normal(size=(K, W))
     rb = rng.normal(size=(b,))
     rp = jnp.asarray(np.concatenate(
         [r, np.zeros((8 * L - K, W))], axis=0))
-    y, z = sharded_solve(fac, rp, jnp.asarray(rb), mesh)
+    y, z = jax.jit(lambda *a: sharded_solve(*a, mesh))(fac, rp, jnp.asarray(rb))
     sol = np.linalg.solve(A, np.concatenate([r.ravel(), rb]))
     got = np.concatenate([np.asarray(y)[:K].ravel(), np.asarray(z)])
     assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
@@ -53,7 +58,7 @@ def test_sharded_inertia_matches_dense(K, W, b):
                                                   spd=False)
         dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
                                       jnp.asarray(B), jnp.asarray(C), 8)
-        fac, neigs = sharded_factor(dg, lo, Bp, Cp, mesh)
+        fac, neigs = jax.jit(lambda *a: sharded_factor(*a, mesh))(dg, lo, Bp, Cp)
         w = np.linalg.eigvalsh(A)
         # padded identity blocks contribute only positive pivots
         assert int(neigs) == int(np.sum(w < 0)), seed
@@ -67,18 +72,18 @@ def test_sharded_matches_single_chip():
     mesh = _mesh()
     K, W, b = 50, 4, 2
     diag, lower, B, C, A = make_block_tridiag(K, W, b, seed=3, spd=True)
-    fac1, n1 = bcr_factor(jnp.asarray(diag), jnp.asarray(lower),
-                          jnp.asarray(B), jnp.asarray(C))
+    fac1, n1 = jax.jit(bcr_factor)(jnp.asarray(diag), jnp.asarray(lower),
+                                   jnp.asarray(B), jnp.asarray(C))
     rng = np.random.default_rng(2)
     r = rng.normal(size=(K, W))
     rb = rng.normal(size=(b,))
-    y1, z1 = bcr_solve(fac1, jnp.asarray(r), jnp.asarray(rb))
+    y1, z1 = jax.jit(bcr_solve)(fac1, jnp.asarray(r), jnp.asarray(rb))
 
     dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
                                   jnp.asarray(B), jnp.asarray(C), 8)
-    fac8, n8 = sharded_factor(dg, lo, Bp, Cp, mesh)
+    fac8, n8 = jax.jit(lambda *a: sharded_factor(*a, mesh))(dg, lo, Bp, Cp)
     rp = jnp.asarray(np.concatenate([r, np.zeros((8 * L - K, W))]))
-    y8, z8 = sharded_solve(fac8, rp, jnp.asarray(rb), mesh)
+    y8, z8 = jax.jit(lambda *a: sharded_solve(*a, mesh))(fac8, rp, jnp.asarray(rb))
     assert int(n1) == int(n8)
     assert np.allclose(np.asarray(y8)[:K], np.asarray(y1), atol=1e-9)
     assert np.allclose(np.asarray(z8), np.asarray(z1), atol=1e-9)
@@ -104,7 +109,7 @@ def test_hier_sharded_matches_dense(K, W, b, hc):
                                                   spd=spd)
         dg, lo, Bp, Cp, L = pad_chain(jnp.asarray(diag), jnp.asarray(lower),
                                       jnp.asarray(B), jnp.asarray(C), 8)
-        fac, neigs = sharded_factor_hier(dg, lo, Bp, Cp, mesh)
+        fac, neigs = jax.jit(lambda *a: sharded_factor_hier(*a, mesh))(dg, lo, Bp, Cp)
         w = np.linalg.eigvalsh(A)
         assert int(neigs) == int(np.sum(w < 0)), (seed, spd)
         if not spd:
@@ -113,7 +118,7 @@ def test_hier_sharded_matches_dense(K, W, b, hc):
         r = rng.normal(size=(K, W))
         rb = rng.normal(size=(b,))
         rp = jnp.asarray(np.concatenate([r, np.zeros((8 * L - K, W))]))
-        y, z = sharded_solve_hier(fac, rp, jnp.asarray(rb), mesh)
+        y, z = jax.jit(lambda *a: sharded_solve_hier(*a, mesh))(fac, rp, jnp.asarray(rb))
         sol = np.linalg.solve(A, np.concatenate([r.ravel(), rb]))
         got = np.concatenate([np.asarray(y)[:K].ravel(), np.asarray(z)])
         assert np.allclose(got, sol, atol=1e-8), np.abs(got - sol).max()
