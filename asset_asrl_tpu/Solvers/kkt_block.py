@@ -1714,10 +1714,18 @@ class BlockKKT:
         ce, ci = [], []
         obj = jnp.zeros((), DEFAULT_DTYPE)
 
+        import os as _os
+        nohess = _os.environ.get("ASSET_DIFF_NOHESS", "0") == "1"
+
         def hess_of(fam, xg, cc, lam):
             # want_hess: True = real adjoint Hessian; "zeros" = structural
             # zeros (Gauss-Newton / reference evalSOE+evalAUG first-order
             # modes, `NonLinearProgram.cpp:590-627`); False = skip.
+            # ASSET_DIFF_NOHESS=1 is a TIMING-ONLY diagnostic (in-loop
+            # differential attribution of the hessian AD cost).
+            if nohess and fam["need_hess"]:
+                return jnp.zeros((fam["napps"], fam["nin"], fam["nin"]),
+                                 DEFAULT_DTYPE)
             if want_hess is True and fam["need_hess"]:
                 return fam["hess"](xg, cc, lam)
             if want_hess == "zeros" and fam["need_hess"]:
