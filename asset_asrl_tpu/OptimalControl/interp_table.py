@@ -218,7 +218,7 @@ class LGLInterpTable:
 def InterpFunction(tab: LGLInterpTable, idx):
     """VectorFunction of time: t -> selected interpolated columns
     (reference InterpFunction_N bindings)."""
-    idx = np.asarray(list(idx), dtype=np.int64)
+    idx = np.asarray(list(idx), dtype=np.int32)
     idxj = np.asarray(idx)
 
     def impl(x):

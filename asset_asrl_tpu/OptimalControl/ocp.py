@@ -130,9 +130,9 @@ class OptimalControlProblem:
             raise TypeError("addDirectLinkEqualCon: bad arguments")
         self._link_specs.append(
             ("direct", func, self._phase(pa), _canon_region(ra),
-             np.asarray(list(va), np.int64),
+             np.asarray(list(va), np.int32),
              self._phase(pb), _canon_region(rb),
-             np.asarray(list(vb), np.int64)))
+             np.asarray(list(vb), np.int32)))
         return len(self._link_specs) - 1
 
     def addLinkEqualCon(self, func, *args):
@@ -152,16 +152,16 @@ class OptimalControlProblem:
             sel = []
             for tup in args[0]:
                 p, r = tup[0], tup[1]
-                xtuv = np.asarray(list(tup[2]), np.int64) if len(tup) > 2 \
-                    else np.zeros(0, np.int64)
-                opv = np.asarray(list(tup[3]), np.int64) if len(tup) > 3 \
-                    else np.zeros(0, np.int64)
-                spv = np.asarray(list(tup[4]), np.int64) if len(tup) > 4 \
-                    else np.zeros(0, np.int64)
+                xtuv = np.asarray(list(tup[2]), np.int32) if len(tup) > 2 \
+                    else np.zeros(0, np.int32)
+                opv = np.asarray(list(tup[3]), np.int32) if len(tup) > 3 \
+                    else np.zeros(0, np.int32)
+                spv = np.asarray(list(tup[4]), np.int32) if len(tup) > 4 \
+                    else np.zeros(0, np.int32)
                 sel.append((self._phase(p), _canon_region(r), xtuv, opv,
                             spv))
-            lp = np.asarray(list(args[1]), np.int64) if len(args) > 1 \
-                else np.zeros(0, np.int64)
+            lp = np.asarray(list(args[1]), np.int32) if len(args) > 1 \
+                else np.zeros(0, np.int32)
             self._link_specs.append(("general_idx", func, sel, lp))
             return len(self._link_specs) - 1
         if len(args) == 1 and isinstance(args[0], (list, tuple)):
@@ -175,7 +175,7 @@ class OptimalControlProblem:
     def addLinkParamEqualCon(self, func, pidx):
         """Equality on link params selected by pidx."""
         self._link_specs.append(
-            ("linkparams", func, np.asarray(list(pidx), np.int64)))
+            ("linkparams", func, np.asarray(list(pidx), np.int32)))
         return len(self._link_specs) - 1
 
     def addLinkObjective(self, func, *args):
@@ -260,7 +260,7 @@ class OptimalControlProblem:
             # multi-phase KKT stays block-tridiagonal (+ border for link
             # params and long-range links) — the sharding seam of
             # SURVEY.md section 2.9 P6.
-            nov = np.full(nvars, -1, np.int64)
+            nov = np.full(nvars, -1, np.int32)
             node_off = 0
             for p, o in zip(self.Phases, offsets):
                 pn = p.node_of_var()
@@ -308,7 +308,7 @@ class OptimalControlProblem:
         m = phase._m
         N = phase.numNodes
         cols = m + 2 + phase.PV + phase.SPV
-        idx = np.empty((N, cols), np.int64)
+        idx = np.empty((N, cols), np.int32)
         idx[:, :m] = offset + np.arange(N)[:, None] * m + np.arange(m)
         idx[:, m] = offset + phase._t0i
         idx[:, m + 1] = offset + phase._tfi
@@ -348,7 +348,7 @@ class OptimalControlProblem:
                 rkind = "node"
             else:
                 pack = self._region_pack(p, self._offsets_map[id(p)], r)
-                idx2d = np.asarray(pack[2], np.int64)[None, :]
+                idx2d = np.asarray(pack[2], np.int32)[None, :]
                 taus = np.asarray([pack[3]])
                 rkind = pack[0]         # "node" (Front/Back) or "raw"
             packs.append((p, lo, idx2d.shape[1],
@@ -365,7 +365,7 @@ class OptimalControlProblem:
         lpn = len(lp)
         if lpn:
             lp_idx = np.broadcast_to(
-                self._lp_offset + np.asarray(lp, np.int64)[None, :],
+                self._lp_offset + np.asarray(lp, np.int32)[None, :],
                 (napps, lpn))
             idx_parts.append(lp_idx)
         Vidx = np.concatenate(idx_parts, axis=1)
@@ -421,7 +421,7 @@ class OptimalControlProblem:
             sel = [(p, r, np.arange(p.XV + 1 + p.UV),
                     np.arange(p.PV), np.arange(p.SPV)) for p, r in pr]
             return self._transcribe_path_link(
-                nlp, func, sel, np.zeros(0, np.int64),
+                nlp, func, sel, np.zeros(0, np.int32),
                 "objective" if kind == "objective" else "eq")
         if kind == "direct" and (spec[3] in ("Path", "InnerPath")
                                  or spec[6] in ("Path", "InnerPath")):
@@ -431,12 +431,12 @@ class OptimalControlProblem:
                 from ..VectorFunctions.function import Arguments
                 A = Arguments(2 * na)
                 func = A.head(na) - A.segment(na, na)
-            sel = [(pa, ra, np.asarray(va), np.zeros(0, np.int64),
-                    np.zeros(0, np.int64)),
-                   (pb, rb, np.asarray(vb), np.zeros(0, np.int64),
-                    np.zeros(0, np.int64))]
+            sel = [(pa, ra, np.asarray(va), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32)),
+                   (pb, rb, np.asarray(vb), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32))]
             return self._transcribe_path_link(
-                nlp, func, sel, np.zeros(0, np.int64), "eq")
+                nlp, func, sel, np.zeros(0, np.int32), "eq")
         if kind == "direct":
             _, func, pa, ra, va, pb, rb, vb = spec
             packa = self._region_pack(pa, offsets[self.Phases.index(pa)], ra)

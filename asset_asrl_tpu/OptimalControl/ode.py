@@ -112,7 +112,7 @@ class ODEBase:
         if isinstance(val, VectorFunction):
             n = val.IRows()
             out = val.compute(np.arange(n, dtype=np.float64))
-            idxs = np.rint(out).astype(np.int64)
+            idxs = np.rint(out).astype(np.int32)
             return idxs
         vals = []
         for v in np.atleast_1d(np.asarray(val, dtype=object)).ravel():
@@ -120,7 +120,7 @@ class ODEBase:
                 vals.extend(self.Vgroups[v])
             else:
                 vals.append(int(v))
-        return np.asarray(vals, dtype=np.int64)
+        return np.asarray(vals, dtype=np.int32)
 
     def make_input(self, **kwargs):
         """Full [x, t, u, p] input row from named Vgroup values (reference

@@ -501,16 +501,16 @@ class Phase:
         names (reference VarIndexType, `InterfaceTypes.h:11-25`)."""
         groups = getattr(self.ode, "Vgroups", {}) or {}
         if isinstance(indices, str):
-            return np.asarray(groups[indices], dtype=np.int64)
+            return np.asarray(groups[indices], dtype=np.int32)
         if isinstance(indices, (int, np.integer)):
-            return np.asarray([indices], dtype=np.int64)
+            return np.asarray([indices], dtype=np.int32)
         out = []
         for v in indices:
             if isinstance(v, str):
                 out.extend(groups[v])
             else:
                 out.append(int(v))
-        return np.asarray(out, dtype=np.int64)
+        return np.asarray(out, dtype=np.int32)
 
     def _add(self, kind, region, fun, nout, name, data=None):
         self._specs.append(_Spec(kind, region, fun, nout, name, data=data))
@@ -552,17 +552,17 @@ class Phase:
             return trace, ir, orr
         # subset index form
         xtuv = self._resolve_idx(args[0])
-        opv = np.asarray(args[1], dtype=np.int64).ravel() if len(args) > 1 \
-            else np.zeros(0, np.int64)
-        spv = np.asarray(args[2], dtype=np.int64).ravel() if len(args) > 2 \
-            else np.zeros(0, np.int64)
+        opv = np.asarray(args[1], dtype=np.int32).ravel() if len(args) > 1 \
+            else np.zeros(0, np.int32)
+        spv = np.asarray(args[2], dtype=np.int32).ravel() if len(args) > 2 \
+            else np.zeros(0, np.int32)
         per = self.XV + 1 + self.UV
         nnodes = 2 if _canon_region(region) in (
             "FrontandBack", "BackandFront", "PairWisePath") else 1
         sel = np.concatenate([
             xtuv,
             nnodes * per + opv,
-            nnodes * per + self.PV + spv]).astype(np.int64)
+            nnodes * per + self.PV + spv]).astype(np.int32)
         if len(sel) != ir:
             raise ValueError(
                 f"selected {len(sel)} vars but function takes {ir}")
@@ -656,7 +656,7 @@ class Phase:
         nlp.bump_consts()
 
     def addPeriodicityCon(self, indices):
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = np.asarray(indices, dtype=np.int32).ravel()
         per = self.XV + 1 + self.UV
         def fun(inp):
             return inp[idx] - inp[idx + per]
@@ -665,7 +665,7 @@ class Phase:
 
     def _values_at_region(self, region, indices):
         region = _canon_region(region)
-        idx = np.asarray(indices, dtype=np.int64)
+        idx = np.asarray(indices, dtype=np.int32)
         if region == "StaticParams":
             return self._static_params[idx]
         if region == "ODEParams":
@@ -716,7 +716,7 @@ class Phase:
         trace, ir, orr = _tracefun(func)
         if orr != 1:
             raise ValueError("func bound requires scalar function")
-        idx = np.asarray(self._resolve_idx(indices), np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), np.int32).ravel()
         lb = float(lb); ub = float(ub); s = float(scale)
         def fun(inp):
             v = trace(inp[idx])[0]
@@ -725,7 +725,7 @@ class Phase:
 
     def addLowerFuncBound(self, region, func, indices, lb, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = np.asarray(self._resolve_idx(indices), dtype=np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), dtype=np.int32).ravel()
         lb = float(lb); s = float(scale)
         def fun(inp):
             return (lb - trace(inp[idx])[0])[None] * s
@@ -733,7 +733,7 @@ class Phase:
 
     def addUpperFuncBound(self, region, func, indices, ub, scale=1.0):
         trace, ir, orr = _tracefun(func)
-        idx = np.asarray(self._resolve_idx(indices), dtype=np.int64).ravel()
+        idx = np.asarray(self._resolve_idx(indices), dtype=np.int32).ravel()
         ub = float(ub); s = float(scale)
         def fun(inp):
             return (trace(inp[idx])[0] - ub)[None] * s
@@ -854,7 +854,7 @@ class Phase:
         `ODEPhaseBase.h` addIntegralParamFunction): implemented as the
         equality  sum_segments quad(f) - sp[pnum] = 0."""
         trace, ir, orr = _tracefun(func)
-        idx = np.asarray(indices, dtype=np.int64).ravel()
+        idx = np.asarray(indices, dtype=np.int32).ravel()
         self._specs.append(
             _Spec("inteq", "Integral", (trace, idx, int(pnum)), 1,
                   "intparam"))
@@ -1215,7 +1215,7 @@ class Phase:
     def node_of_var(self):
         """Node id per phase variable (-1 = border: t0, tf, params) — the
         structure map consumed by the block-tridiagonal KKT backend."""
-        nov = np.full(self.numVars, -1, np.int64)
+        nov = np.full(self.numVars, -1, np.int32)
         m = self._m
         nov[:self.numNodes * m] = np.arange(self.numNodes * m) // m
         return nov

@@ -1349,8 +1349,9 @@ class BlockKKT:
     def __init__(self, nlp, node_of_var, probe_seed=7, x0=None):
         nlp.freeze()
         self.nlp = nlp
-        from .nlp import (_family_full, _family_valjac, _family_hess,
-                          _family_hess_f32, _family_valgradjac_mixed)
+        from .nlp import (_family_full, _family_valjac, _family_valjac_bm,
+                          _family_hess, _family_hess_f32,
+                          _family_hess_true32, _family_valgradjac_mixed)
         import os
         # Precision of the family AD passes feeding the KKT *matrix* (the
         # residuals rd/cE/cI always stay f64; see nlp._family_hess_f32 /
@@ -1359,6 +1360,36 @@ class BlockKKT:
         self._hess32 = os.environ.get("ASSET_HESS_DTYPE", "f64") == "f32"
         self._jac32 = os.environ.get("ASSET_JAC_DTYPE", "f64") == "f32"
         fam_hess = _family_hess_f32 if self._hess32 else _family_hess
+        # ASSET_FAMAD: "fast" (TPU default) = batch-minor f64 value/Jacobian
+        # (exact, full lane occupancy) + genuinely-f32 adjoint Hessian;
+        # "dd" (CPU/GPU default) = batch-major all-f64.  See the
+        # nlp._family_valjac_bm / _trace32 docstrings for the measurements.
+        famad = os.environ.get("ASSET_FAMAD", "")
+        if not famad:
+            famad = "fast" if jax.default_backend() == "tpu" else "dd"
+        self._famad = famad
+        fam_vj = _family_valjac_bm if famad == "fast" else _family_valjac
+
+        def make_hess(f, need):
+            if famad == "fast" and not self._hess32 and need:
+                try:
+                    h = _family_hess_true32(f.fun, f.nin,
+                                            f.consts.shape[1])
+                    # trace-only probe (no XLA compile): falls back to the
+                    # f64 pass for families whose graphs can't retrace
+                    # under x64-disabled canonicalization (callbacks with
+                    # declared f64 result shapes, custom roots, ...)
+                    jax.eval_shape(
+                        h,
+                        jax.ShapeDtypeStruct((f.napps, f.nin),
+                                             DEFAULT_DTYPE),
+                        jax.ShapeDtypeStruct(f.consts.shape, DEFAULT_DTYPE),
+                        jax.ShapeDtypeStruct((f.napps, f.nout),
+                                             DEFAULT_DTYPE))
+                    return h
+                except Exception:
+                    pass
+            return fam_hess(f.fun)
 
         # ---- probe structural sparsity of every family (TPU analog of the
         # reference's INPUT_DOMAIN tracking): evaluate |J|,|H| near the
@@ -1462,9 +1493,9 @@ class BlockKKT:
         self._eq = []
         for f, rows, (jnz, hnz) in zip(nlp.eqcons, nlp._eq_rows, eq_nz):
             self._eq.append(dict(
-                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                full=_family_full(f.fun), vj=fam_vj(f.fun),
                 vjg=_family_valgradjac_mixed(f.fun),
-                hess=fam_hess(f.fun),
+                hess=make_hess(f, bool(hnz.any())),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))
@@ -1476,18 +1507,18 @@ class BlockKKT:
             for r in range(f.nout):
                 hfull |= np.outer(jnz[r], jnz[r])
             self._iq.append(dict(
-                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                full=_family_full(f.fun), vj=fam_vj(f.fun),
                 vjg=_family_valgradjac_mixed(f.fun),
-                hess=fam_hess(f.fun),
+                hess=make_hess(f, bool(hnz.any())),
                 Vidx=np.asarray(f.Vidx), rows=np.asarray(rows),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz, hfull=hfull,
                 nout=f.nout, nin=f.nin, napps=f.napps))
         self._obj = []
         for f, (jnz, hnz) in zip(nlp.objectives, obj_nz):
             self._obj.append(dict(
-                full=_family_full(f.fun), vj=_family_valjac(f.fun),
+                full=_family_full(f.fun), vj=fam_vj(f.fun),
                 vjg=_family_valgradjac_mixed(f.fun),
-                hess=fam_hess(f.fun),
+                hess=make_hess(f, bool(hnz.any())),
                 Vidx=np.asarray(f.Vidx),
                 need_hess=bool(hnz.any()), jnz=jnz, hnz=hnz,
                 nout=f.nout, nin=f.nin, napps=f.napps))

@@ -174,6 +174,138 @@ def _family_hess_f32(fun):
     return jax.vmap(one)
 
 
+def _family_valjac_bm(fun):
+    """Batch-MINOR value+Jacobian: identical math and output layout to
+    `_family_valjac`, but vmapped with in_axes=-1/out_axes=-1 so the
+    application axis rides the 128-wide TPU lane dimension.
+
+    With the batch axis leading (the default), every AD intermediate is
+    shaped (napps, k) with tiny minor k (nin/nout ~ 8-17), so each VPU op
+    uses k/128 lanes.  Mapping over the MINOR axis instead makes every
+    intermediate (..., napps) — full lane occupancy.  Measured on v5e at
+    the 5000-app LGL5 defect family (tools/r5_session8.py): 17.7 ms ->
+    5.6 ms net of dispatch overhead, bit-identical results (the transposes
+    in/out are cheap relayouts).  CPU/GPU are layout-insensitive here, so
+    this is selected only on TPU (see kkt_block.BlockKKT)."""
+    def one(xloc, consts):
+        f = lambda z: jnp.atleast_1d(fun(z, consts))
+        return f(xloc), jax.jacfwd(f)(xloc)
+    vm = jax.vmap(one, in_axes=-1, out_axes=-1)
+
+    def run(xg, cc):
+        fx, jx = vm(xg.T, cc.T)
+        return fx.T, jx.transpose(2, 0, 1)
+    return run
+
+
+def _retrace_f32(fun, nin, nc):
+    """Build a genuinely-f32 version of a per-application family function.
+
+    Casting inputs to f32 at the boundary is NOT enough on TPU: f64
+    constants embedded in the traced closures (coefficient matrices, mesh
+    weights, physical constants) re-promote every downstream op to f64,
+    which XLA:TPU emulates as double-double f32 at ~15-30x the op count —
+    this is why the round-4 ASSET_HESS_DTYPE=f32 variant measured <2%
+    in-loop change.  (Tracing under `jax.enable_x64(False)` is not a fix
+    either: f64 closure array constants then meet f32 tracers and lower
+    to invalid stablehlo.)  Instead the function is traced ONCE at f64
+    and re-interpreted primitive-by-primitive with every float constant,
+    literal, and dtype parameter rewritten to f32 — the result is an
+    ordinary differentiable jax function whose whole graph is f32
+    (tools/r5_session9.py: adjoint-Hessian family pass ~18 ms -> ~0 net
+    of the ~24-30 ms dispatch overhead at 5000 apps).
+
+    Families whose graphs carry control flow, callbacks, or custom
+    derivative rules raise at build/probe time and fall back to the f64
+    pass (see kkt_block.BlockKKT make_hess)."""
+    from jax.extend.core import ClosedJaxpr, Literal  # noqa: F401
+    closed = jax.make_jaxpr(lambda z, c: jnp.atleast_1d(fun(z, c)))(
+        jax.ShapeDtypeStruct((nin,), DEFAULT_DTYPE),
+        jax.ShapeDtypeStruct((nc,), DEFAULT_DTYPE))
+    f64 = np.dtype(np.float64)
+
+    def cast32(v):
+        dt = getattr(v, "dtype", None)
+        if dt is not None and np.issubdtype(dt, np.floating) \
+                and dt != np.float32:
+            return jnp.asarray(v, jnp.float32) if isinstance(v, jax.Array) \
+                else np.asarray(v, np.float32)
+        if isinstance(v, float):
+            return np.float32(v)
+        return v
+
+    def fix_param(v):
+        # only rewrite actual dtype-valued params (np.dtype(None) would
+        # "helpfully" default to float64 and clobber None params)
+        if isinstance(v, np.dtype) or (isinstance(v, type)
+                                       and issubclass(v, np.generic)):
+            if np.dtype(v) == f64:
+                return np.dtype(np.float32)
+        return v
+
+    def interp(jaxpr, consts, *args):
+        env = {}
+
+        def read(v):
+            if isinstance(v, Literal):
+                return cast32(v.val)
+            return env[v]
+
+        for var, c in zip(jaxpr.constvars, consts):
+            env[var] = cast32(c)
+        for var, a in zip(jaxpr.invars, args):
+            env[var] = a
+        for eqn in jaxpr.eqns:
+            invals = [read(v) for v in eqn.invars]
+            if eqn.primitive.name in ("pjit", "jit"):
+                # inline nested jit bodies (they all end up inside the
+                # solver's outer jit anyway)
+                sub = eqn.params["jaxpr"]
+                outs = interp(sub.jaxpr, sub.consts, *invals)
+            else:
+                if any(isinstance(v, (ClosedJaxpr,))
+                       or (isinstance(v, (tuple, list))
+                           and any(isinstance(w, ClosedJaxpr) for w in v))
+                       for v in eqn.params.values()):
+                    raise NotImplementedError(
+                        f"f32 retrace: {eqn.primitive.name} carries "
+                        "sub-jaxprs (control flow / custom rules)")
+                params = {k: fix_param(v) for k, v in eqn.params.items()}
+                outs = eqn.primitive.bind(*invals, **params)
+                if not eqn.primitive.multiple_results:
+                    outs = [outs]
+            for var, o in zip(eqn.outvars, outs):
+                env[var] = o
+        return [read(v) for v in jaxpr.outvars]
+
+    def f32fun(z32, c32):
+        out = interp(closed.jaxpr, closed.consts, z32, c32)
+        return out[0] if len(out) == 1 else out
+    return f32fun
+
+
+def _family_hess_true32(fun, nin, nc):
+    """Adjoint Hessian with a genuinely-f32 graph (see `_retrace_f32`),
+    returned as DEFAULT_DTYPE.
+
+    Accuracy: the Hessian only enters the KKT *matrix*, never the
+    residuals — rd/cE/cI always come from the f64 value/Jacobian pass, so
+    convergence is still measured exactly.  An f32-accurate curvature
+    block is an inexact-Newton perturbation the IPM absorbs; the
+    zero-target Richardson refinement (kkt_block._zt_solve) already
+    refines steps against the assembled K0."""
+    f32t = _retrace_f32(fun, nin, nc)
+
+    def one(xloc, consts, lam):
+        x32 = xloc.astype(jnp.float32)
+        c32 = consts.astype(jnp.float32)
+        l32 = lam.astype(jnp.float32)
+        g = lambda z: f32t(z, c32)
+        agrad = lambda z: jax.vjp(g, z)[1](l32)[0]
+        return jax.jacfwd(agrad)(x32).astype(DEFAULT_DTYPE)
+    return jax.vmap(one)
+
+
 def _family_valgradjac_mixed(fun):
     """Value + exact adjoint gradient (f64 vjp) + f32 matrix Jacobian.
 

@@ -19,7 +19,7 @@ __all__ = ["OptimizationProblem"]
 
 def _index_matrix(func, indices):
     """Normalize user index argument into (napps, IRows) int array."""
-    idx = np.asarray(indices, dtype=np.int64)
+    idx = np.asarray(indices, dtype=np.int32)
     if idx.ndim == 1:
         idx = idx[None, :]
     if idx.shape[1] != func.IRows():

@@ -231,7 +231,7 @@ class VectorFunction:
         (reference `f.eval(8, [0,2,6])` idiom)."""
         if idx is not None:
             n = int(other)
-            sel = jnp.asarray(np.asarray(list(idx), dtype=np.int64))
+            sel = jnp.asarray(np.asarray(list(idx), dtype=np.int32))
             if len(sel) != self._ir:
                 raise ValueError("eval(n, idx): len(idx) != IRows")
             f = self._fn
